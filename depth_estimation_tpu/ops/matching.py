@@ -1,0 +1,261 @@
+"""Patch-correlation matching: the framework's north-star hot op.
+
+Re-implements the semantics of nnx ``SpatialMatching(maxh, maxw, false)`` used
+throughout the reference (/root/reference/opticalflow_model.lua:93,
+groundtruth_opticalflow.lua:73-74, version2/network.lua) and its 1-D radial
+variant ``SpatialRadialMatching`` (/root/reference/radial/radial_opticalflow_network.lua:32-34):
+
+    cost[y, x, dy*maxw + dx] = sum_k (f1[y, x, k] - f2[y+dy, x+dx, k])^2
+
+where ``f1`` is the feature map of the reference frame *pre-cropped* by the
+half-window (see ``prepareInput``, /root/reference/opticalflow_model.lua:131-151)
+so that flat window index ``d`` means centered displacement
+``(dy - halfh1, dx - halfw1)`` — exactly the codec in ``codecs.py``.
+
+Two implementations:
+
+  * ``match_ssd`` — pure JAX, returns the full cost volume. Differentiable,
+    bit-exact parity path; used for training and for groundtruth generation.
+    XLA fuses the static displacement loop into one kernel.
+
+  * ``match_flow_fused`` — a Pallas TPU kernel that fuses matching, softmax
+    (flash-style online logsumexp), WTA argmin with the reference's
+    flat-pixel tie-break, and soft-argmax expectation into ONE pass, never
+    materializing the (H*W*maxh*maxw) cost volume in HBM. For a 320x180
+    frame with a 16x16 window that volume is ~59 MB/frame in f32 — the op
+    is HBM-bandwidth-bound, so this fusion, not FLOPs, is the speedup.
+
+Layout: the framework is channels-last (H, W, K) at op boundaries (NHWC is
+the TPU-native conv layout). Inside the kernel we transpose to (K, H, W) so
+the *wide* spatial dims sit on sublanes/lanes (K is usually small — 10..32 —
+and would waste 8x128 vector lanes if kept last).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference path (differentiable, parity-exact)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def match_ssd(f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int) -> jnp.ndarray:
+    """SSD cost volume.
+
+    Args:
+      f1: (H, W, K) reference features (already half-window cropped).
+      f2: (H + maxh - 1, W + maxw - 1, K) search features.
+    Returns:
+      (H, W, maxh * maxw) float cost volume, d = dy * maxw + dx.
+    """
+    H = f2.shape[0] - maxh + 1
+    W = f2.shape[1] - maxw + 1
+    assert f1.shape[0] == H and f1.shape[1] == W, (f1.shape, f2.shape, maxh, maxw)
+    costs = []
+    for dy in range(maxh):
+        for dx in range(maxw):
+            diff = f1 - jax.lax.slice(
+                f2, (dy, dx, 0), (dy + H, dx + W, f2.shape[2])
+            )
+            costs.append(jnp.sum(diff * diff, axis=-1))
+    return jnp.stack(costs, axis=-1)
+
+
+def match_ssd_radial(f1: jnp.ndarray, f2: jnp.ndarray, hwin: int) -> jnp.ndarray:
+    """1-D radial matching (polar space, search along rows only).
+
+    Equivalent of nnx SpatialRadialMatching(hWin): f2 taller than f1 by
+    hwin - 1 (the trainer pads the bottom by hWin-1,
+    /root/reference/radial/radial_opticalflow_network.lua:39).
+    Returns (H, W, hwin).
+    """
+    return match_ssd(f1, f2, hwin, 1)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel: match + softmax + WTA + soft-argmax in one HBM pass
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
+                  *, maxh: int, maxw: int, mid: int, th: int):
+    """One grid step processes a (K, TH, W) row-block of the output.
+
+    f1_ref: (K, TH, W) VMEM — reference features for this row block.
+    f2_ref: (K, TH + maxh - 1, W + maxw - 1) VMEM — search slab (overlapping
+            rows handled by the index_map below).
+    Outputs per pixel (TH, W):
+      idx  — argmin flat window index, middle tie-break (reference
+             getOutputConfidences, /root/reference/opticalflow_model.lua:153-161)
+      py/px — soft-argmax expectation of the *centered* displacement under
+             softmax(-cost) (reference getOutputConfidences2 / OutputExtractor)
+      pmax — probability mass of the best cell (confidence).
+    """
+    K = f1_ref.shape[0]
+    W = f1_ref.shape[2]
+    f1 = f1_ref[...]
+
+    halfh1 = math.ceil(maxh / 2) - 1
+    halfw1 = math.ceil(maxw / 2) - 1
+
+    neg_inf = jnp.float32(-3.4e38)
+    # Online (flash) softmax state over logits l_d = -cost_d.
+    m0 = jnp.full((th, W), neg_inf, jnp.float32)       # running max logit
+    s0 = jnp.zeros((th, W), jnp.float32)               # running sum exp(l - m)
+    sy0 = jnp.zeros((th, W), jnp.float32)              # running sum exp * dy
+    sx0 = jnp.zeros((th, W), jnp.float32)
+    bi0 = jnp.zeros((th, W), jnp.int32)                # argmax logit (first hit)
+    bm0 = jnp.full((th, W), neg_inf, jnp.float32)      # best logit
+    lmid0 = jnp.zeros((th, W), jnp.float32)            # logit at middle index
+
+    # Fully static unroll over the search window: Mosaic requires sublane
+    # slice offsets to be static (dynamic ones must be 8-aligned), and maxh,
+    # maxw are compile-time constants anyway.
+    m, s, sy, sx, bi, bm, lmid = m0, s0, sy0, sx0, bi0, bm0, lmid0
+    f2 = f2_ref[...]
+    for dy in range(maxh):
+        for dx in range(maxw):
+            d = dy * maxw + dx
+            diff = f1 - jax.lax.slice(
+                f2, (0, dy, dx), (K, dy + th, dx + W)
+            )
+            l = -jnp.sum(diff * diff, axis=0)          # (TH, W) logit
+            # argmax with first-occurrence semantics (match torch max)
+            better = l > bm
+            bi = jnp.where(better, d, bi)
+            bm = jnp.where(better, l, bm)
+            if d == mid:
+                lmid = l
+            # online softmax update
+            m_new = jnp.maximum(m, l)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(l - m_new)
+            s = s * alpha + p
+            sy = sy * alpha + p * (dy - halfh1)
+            sx = sx * alpha + p * (dx - halfw1)
+            m = m_new
+
+    # Flat-pixel tie-break: if the middle (zero-flow) cell ties the max,
+    # prefer it (/root/reference/opticalflow_model.lua:158-160).
+    tie = lmid >= bm
+    idx_ref[...] = jnp.where(tie, mid, bi)
+    pmax_ref[...] = jnp.exp(bm - m) / s
+    py_ref[...] = sy / s
+    px_ref[...] = sx / s
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def match_flow_fused(
+    f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
+    block_rows: int = 8, interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused match + decode. Returns (idx, ey, ex, pmax), each (H, W):
+      idx  int32 WTA flat window index (middle tie-break),
+      ey/ex f32 soft-argmax centered displacement expectations,
+      pmax f32 softmax probability of the WTA cell.
+    """
+    H = f2.shape[0] - maxh + 1
+    W = f2.shape[1] - maxw + 1
+    K = f1.shape[2]
+    assert f1.shape == (H, W, K)
+
+    # channels-first so wide spatial dims occupy sublanes/lanes
+    f1t = jnp.transpose(f1, (2, 0, 1)).astype(jnp.float32)
+    f2t = jnp.transpose(f2, (2, 0, 1)).astype(jnp.float32)
+
+    # Mosaic constraints: DMA row offsets/shapes must be 8-aligned (f32
+    # sublane tiling), so the block height is a multiple of 8 and the DMA'd
+    # slab is rounded up to a multiple of 8 rows.
+    th = max(8, (min(block_rows, H) // 8) * 8)
+    n_blocks = pl.cdiv(H, th)
+    slab_rows = -(-(th + maxh - 1) // 8) * 8
+    rows_needed = (n_blocks - 1) * th + slab_rows
+    pad1 = n_blocks * th - H
+    pad2 = rows_needed - f2t.shape[1]
+    # ... and the DMA'd slab's lane (width) dim must be a 128 multiple.
+    W2 = -(-f2.shape[1] // 128) * 128
+    padw = W2 - f2.shape[1]
+    if pad1 > 0:
+        f1t = jnp.pad(f1t, ((0, 0), (0, pad1), (0, 0)))
+    if pad2 > 0 or padw > 0:
+        f2t = jnp.pad(f2t, ((0, 0), (0, max(pad2, 0)), (0, padw)))
+
+    mid = (math.ceil(maxh / 2) - 1) * maxw + (math.ceil(maxw / 2) - 1)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks * th, W), jnp.int32),
+        jax.ShapeDtypeStruct((n_blocks * th, W), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks * th, W), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks * th, W), jnp.float32),
+    ]
+
+    # f2 rows overlap between adjacent grid steps (each block needs
+    # th + maxh - 1 rows starting at i*th), which BlockSpec's block-unit
+    # indexing cannot express — so f2 stays in HBM (ANY) and each program
+    # DMAs its own overlapping slab into VMEM scratch.
+    def kernel_dma_f2(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref):
+        i = pl.program_id(0)
+        # view of the slab for this row-block
+        def body(slab, sem):
+            dma = pltpu.make_async_copy(
+                f2_ref.at[:, pl.ds(pl.multiple_of(i * th, 8), slab_rows), :],
+                slab, sem,
+            )
+            dma.start()
+            dma.wait()
+            _fused_kernel(f1_ref, slab, idx_ref, py_ref, px_ref, pmax_ref,
+                          maxh=maxh, maxw=maxw, mid=mid, th=th)
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((K, slab_rows, W2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((K, th, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # f2 stays in HBM; DMA slabs
+        ],
+        out_specs=[
+            pl.BlockSpec((th, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+    )
+
+    idx, ey, ex, pmax = pl.pallas_call(
+        kernel_dma_f2,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(f1t, f2t)
+    if pad1 > 0:
+        idx, ey, ex, pmax = (a[:H] for a in (idx, ey, ex, pmax))
+    return idx, ey, ex, pmax
+
+
+# ---------------------------------------------------------------------------
+# Decode helpers on full cost volumes (parity with getOutputConfidences)
+# ---------------------------------------------------------------------------
+
+def wta_from_costs(costs: jnp.ndarray, mid: int) -> jnp.ndarray:
+    """Argmin over the window with the reference's middle tie-break:
+    if the zero-flow cell attains the min, pick it. costs: (..., D)."""
+    best = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+    cmin = jnp.min(costs, axis=-1)
+    tie = costs[..., mid] <= cmin
+    return jnp.where(tie, mid, best)
+
+
+def softmax_scores(costs: jnp.ndarray) -> jnp.ndarray:
+    """softmax(-cost) over the window dim — the model's score distribution
+    (reference Minus + SoftMax, /root/reference/opticalflow_model.lua:94-109)."""
+    return jax.nn.softmax(-costs, axis=-1)

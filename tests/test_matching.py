@@ -1,0 +1,129 @@
+"""Matcher op tests, modeled on the reference's analytic invariants:
+brute-force SSD argmin equality (/root/reference/tests/test_multiscale.lua:135-166)
+and WTA decode with middle tie-break (/root/reference/opticalflow_model.lua:153-161).
+The fused Pallas kernel runs in interpret mode on CPU."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depth_estimation_tpu import codecs
+from depth_estimation_tpu.geometry import Geometry
+from depth_estimation_tpu.ops import matching
+
+
+def brute_force_ssd(f1, f2, maxh, maxw):
+    H, W, K = f1.shape
+    out = np.zeros((H, W, maxh * maxw), np.float32)
+    for y in range(H):
+        for x in range(W):
+            for dy in range(maxh):
+                for dx in range(maxw):
+                    d = f1[y, x] - f2[y + dy, x + dx]
+                    out[y, x, dy * maxw + dx] = np.sum(d * d)
+    return out
+
+
+@pytest.mark.parametrize("maxh,maxw,K", [(8, 8, 3), (5, 7, 10), (16, 1, 4)])
+def test_match_ssd_brute_force(maxh, maxw, K):
+    rng = np.random.RandomState(0)
+    H, W = 6, 9
+    f1 = rng.randn(H, W, K).astype(np.float32)
+    f2 = rng.randn(H + maxh - 1, W + maxw - 1, K).astype(np.float32)
+    got = np.asarray(matching.match_ssd(jnp.asarray(f1), jnp.asarray(f2), maxh, maxw))
+    want = brute_force_ssd(f1, f2, maxh, maxw)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_match_recovers_known_shift():
+    """Identity-features trick: f2 is f1 shifted by a known displacement, so
+    the WTA must recover it exactly (reference test_patches2 semantics)."""
+    g = Geometry(maxh=8, maxw=8)
+    rng = np.random.RandomState(1)
+    H, W, K = 12, 14, 6
+    big = rng.rand(H + g.maxh - 1, W + g.maxw - 1, K).astype(np.float32)
+    # truth displacement (centered): dy=2, dx=-1
+    dy_c, dx_c = 2, -1
+    dy_w, dx_w = dy_c + g.halfh1, dx_c + g.halfw1
+    f1 = big[dy_w:dy_w + H, dx_w:dx_w + W]
+    costs = matching.match_ssd(jnp.asarray(f1), jnp.asarray(big), g.maxh, g.maxw)
+    idx = matching.wta_from_costs(costs, codecs.middle_index(g))
+    ry, rx = codecs.decode(g, idx)
+    assert np.all(np.asarray(ry) == dy_c)
+    assert np.all(np.asarray(rx) == dx_c)
+
+
+def test_wta_middle_tiebreak():
+    g = Geometry(maxh=4, maxw=4)
+    mid = codecs.middle_index(g)
+    D = g.maxh * g.maxw
+    costs = np.ones((2, 2, D), np.float32)
+    # pixel (0,0): unique min away from middle -> picks it
+    costs[0, 0, 3] = 0.1
+    # pixel (0,1): min tie between cell 2 and middle -> picks middle
+    costs[0, 1, 2] = 0.5
+    costs[0, 1, mid] = 0.5
+    # pixel (1,0): middle is the unique min
+    costs[1, 0, mid] = 0.0
+    idx = np.asarray(matching.wta_from_costs(jnp.asarray(costs), mid))
+    assert idx[0, 0] == 3
+    assert idx[0, 1] == mid
+    assert idx[1, 0] == mid
+
+
+def _fused_interpret(f1, f2, maxh, maxw, block_rows=4):
+    return matching.match_flow_fused(
+        jnp.asarray(f1), jnp.asarray(f2), maxh, maxw, block_rows, True
+    )
+
+
+@pytest.mark.parametrize("maxh,maxw", [(8, 8), (5, 7)])
+def test_fused_matches_reference_path(maxh, maxw):
+    rng = np.random.RandomState(2)
+    H, W, K = 10, 16, 5
+    f1 = rng.randn(H, W, K).astype(np.float32)
+    f2 = rng.randn(H + maxh - 1, W + maxw - 1, K).astype(np.float32)
+
+    costs = matching.match_ssd(jnp.asarray(f1), jnp.asarray(f2), maxh, maxw)
+    mid = (math.ceil(maxh / 2) - 1) * maxw + (math.ceil(maxw / 2) - 1)
+    want_idx = np.asarray(matching.wta_from_costs(costs, mid))
+    p = np.asarray(matching.softmax_scores(costs))
+    off_y = np.arange(maxh * maxw) // maxw - (math.ceil(maxh / 2) - 1)
+    off_x = np.arange(maxh * maxw) % maxw - (math.ceil(maxw / 2) - 1)
+    want_ey = (p * off_y).sum(-1)
+    want_ex = (p * off_x).sum(-1)
+    want_pmax = p.max(-1)
+
+    idx, ey, ex, pmax = _fused_interpret(f1, f2, maxh, maxw)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_allclose(np.asarray(ey), want_ey, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ex), want_ex, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pmax), want_pmax, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_row_padding():
+    """H not a multiple of block_rows exercises the padding path."""
+    maxh = maxw = 4
+    rng = np.random.RandomState(3)
+    H, W, K = 7, 9, 3
+    f1 = rng.randn(H, W, K).astype(np.float32)
+    f2 = rng.randn(H + maxh - 1, W + maxw - 1, K).astype(np.float32)
+    costs = matching.match_ssd(jnp.asarray(f1), jnp.asarray(f2), maxh, maxw)
+    mid = (math.ceil(maxh / 2) - 1) * maxw + (math.ceil(maxw / 2) - 1)
+    want_idx = np.asarray(matching.wta_from_costs(costs, mid))
+    idx, *_ = _fused_interpret(f1, f2, maxh, maxw, block_rows=4)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_radial_matching():
+    hwin = 6
+    rng = np.random.RandomState(4)
+    H, W, K = 8, 10, 4
+    f1 = rng.randn(H, W, K).astype(np.float32)
+    f2 = rng.randn(H + hwin - 1, W, K).astype(np.float32)
+    got = np.asarray(matching.match_ssd_radial(jnp.asarray(f1), jnp.asarray(f2), hwin))
+    want = brute_force_ssd(f1, f2, hwin, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,133 @@
+"""Exhaustive cross-correlation groundtruth flow (the 'cross-correlation' GT).
+
+Rebuilds getOpticalFlowFast (/root/reference/groundtruth_opticalflow.lua:29-86):
+the reference unfolds kh*kw patches into kh*kw*C-channel feature maps and
+reuses nn.SpatialMatching — i.e. GT flow is the brute-force patch-SSD WTA.
+
+TPU-first reformulation: instead of materializing the unfolded features
+(kh*kw*C channels — 177 MB at 320x180/16x16), patch SSD is computed as a
+box-filter over the per-pixel squared difference for each displacement:
+
+    cost[y, x, d] = boxsum_{kh x kw}( sum_c (im1c - shift(im2, d))^2 )[y, x]
+
+which is mathematically identical (sum over patch of pointwise SSD) at a
+fraction of the memory traffic. Decoding reuses the model's processOutput so
+WTA/tie-break conventions are shared with the matcher, exactly as the
+reference shares nn.SpatialMatching between model and GT.
+
+Disk caching mirrors the reference's parameter-encoded layout
+(/root/reference/groundtruth_opticalflow.lua:134-174):
+``flow/<W>x<H>/<maxw>x<kw>/max/<delta>/<name>.npz``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry
+from ..models import flow as flow_model
+
+
+def gt_geometry(geom: Geometry) -> Geometry:
+    """The GT runs the matcher with the GT window/kernel on raw pixels
+    (geometryGT construction, /root/reference/groundtruth_opticalflow.lua:30-44)."""
+    return Geometry(
+        hImg=geom.hImg,
+        wImg=geom.wImg,
+        layers=((geom.in_channels, geom.hKernelGT, geom.wKernelGT,
+                 geom.hKernelGT * geom.wKernelGT * geom.in_channels),),
+        maxh=geom.maxhGT,
+        maxw=geom.maxwGT,
+        maxhGT=geom.maxhGT,
+        maxwGT=geom.maxwGT,
+        hKernelGT=geom.hKernelGT,
+        wKernelGT=geom.wKernelGT,
+        output_extraction_method="max",
+        training_mode=False,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def patch_ssd_costs(
+    img1: jnp.ndarray, img2: jnp.ndarray,
+    kh: int, kw: int, maxh: int, maxw: int,
+) -> jnp.ndarray:
+    """Cost volume of exhaustive patch matching.
+
+    img1, img2: (H, W, C) frames. img1 is cropped by the half-window
+    internally (prepareInput convention). Returns
+    (H - maxh - kh + 2, W - maxw - kw + 2, maxh * maxw) SSD costs.
+    """
+    H, W, C = img1.shape
+    h1 = -(-maxh // 2) - 1     # ceil(maxh/2) - 1
+    w1 = -(-maxw // 2) - 1
+    img1c = img1[h1:H - maxh // 2, w1:W - maxw // 2, :]
+    Hc, Wc = img1c.shape[0], img1c.shape[1]
+
+    ones = jnp.ones((kh, kw), img1.dtype)
+    costs = []
+    for dy in range(maxh):
+        for dx in range(maxw):
+            diff = img1c - jax.lax.slice(
+                img2, (dy, dx, 0), (dy + Hc, dx + Wc, C)
+            )
+            e = jnp.sum(diff * diff, axis=-1)
+            # kh x kw VALID box sum
+            box = jax.lax.reduce_window(
+                e, 0.0, jax.lax.add, (kh, kw), (1, 1), "VALID"
+            )
+            costs.append(box)
+    return jnp.stack(costs, axis=-1)
+
+
+def exhaustive_flow(
+    geom: Geometry, img1: jnp.ndarray, img2: jnp.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full-frame GT flow: returns (flow_y, flow_x, confidences), each
+    (hImg, wImg), zero outside the valid matching interior — the contract of
+    getOpticalFlowFast (/root/reference/groundtruth_opticalflow.lua:81-86)."""
+    gg = gt_geometry(geom)
+    costs = patch_ssd_costs(
+        jnp.asarray(img1), jnp.asarray(img2),
+        gg.hKernelGT, gg.wKernelGT, gg.maxh, gg.maxw,
+    )
+    dist = jax.nn.softmax(-costs, axis=-1)
+    out = flow_model.process_output(gg, dist, process_full=True, threshold=None)
+    outc = flow_model.process_output(gg, dist, process_full=True, threshold=0.0)
+    return (np.asarray(out.full[0]), np.asarray(out.full[1]),
+            np.asarray(outc.full_confidences))
+
+
+# ---------------------------------------------------------------------------
+# Disk cache (parameter-encoded paths, like the reference)
+# ---------------------------------------------------------------------------
+
+def _cache_path(root: str, geom: Geometry, delta: int, name: str) -> str:
+    return os.path.join(
+        root, "flow", f"{geom.wImg}x{geom.hImg}",
+        f"{geom.maxwGT}x{geom.wKernelGT}", "max", str(delta), name + ".npz"
+    )
+
+
+def cached_exhaustive_flow(
+    root: str, geom: Geometry, delta: int, name: str,
+    img1: jnp.ndarray, img2: jnp.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compute-on-miss GT cache (recompute on shape mismatch, like the
+    reference's size check, /root/reference/groundtruth_opticalflow.lua:167-188)."""
+    path = _cache_path(root, geom, delta, name)
+    if os.path.exists(path):
+        z = np.load(path)
+        fy, fx, conf = z["fy"], z["fx"], z["conf"]
+        if fy.shape == (geom.hImg, geom.wImg):
+            return fy, fx, conf
+    fy, fx, conf = exhaustive_flow(geom, img1, img2)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, fy=fy, fx=fx, conf=conf)
+    return fy, fx, conf

@@ -1,0 +1,127 @@
+"""End-to-end M1 slice: GT generation -> patch sampling -> SGD training ->
+scoring -> checkpoint save/load. Mirrors the reference's trainer contract
+(/root/reference/opticalflow.lua:267-363) at test scale."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depth_estimation_tpu import codecs
+from depth_estimation_tpu.data import groundtruth
+from depth_estimation_tpu.geometry import Geometry, Learning
+from depth_estimation_tpu.models import flow as flow_model
+from depth_estimation_tpu.models import io as model_io
+from depth_estimation_tpu.training import train as training
+
+
+def tiny_geometry():
+    return Geometry(
+        hImg=48, wImg=56,
+        layers=((3, 5, 5, 8),),
+        maxh=6, maxw=6, maxhGT=6, maxwGT=6, hKernelGT=5, wKernelGT=5,
+    )
+
+
+def synthetic_sequence(g, n=3, seed=0):
+    """Images where frame i+1 is frame i shifted by a known (dy, dx)."""
+    rng = np.random.RandomState(seed)
+    base = rng.rand(g.hImg + 20, g.wImg + 20, 3).astype(np.float32)
+    shifts = [(1, -2), (2, 1)][: n - 1]
+    images, flows = [], []
+    oy, ox = 10, 10
+    for k in range(n):
+        images.append(base[oy:oy + g.hImg, ox:ox + g.wImg].copy())
+        if k < n - 1:
+            dy, dx = shifts[k]
+            oy, ox = oy + dy, ox + dx
+            f = np.zeros((2, g.hImg, g.wImg), np.float32)
+            f[0] = dy
+            f[1] = dx
+            flows.append(f)
+    return images, flows
+
+
+def test_sgd_torch_lr_decay():
+    tx = training.sgd_torch(1.0, learning_rate_decay=1.0)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    up1, state = tx.update(g, state, params)
+    up2, state = tx.update(g, state, params)
+    up3, state = tx.update(g, state, params)
+    np.testing.assert_allclose(np.asarray(up1["w"]), -1.0)       # lr/(1+0)
+    np.testing.assert_allclose(np.asarray(up2["w"]), -0.5)       # lr/(1+1)
+    np.testing.assert_allclose(np.asarray(up3["w"]), -1.0 / 3)   # lr/(1+2)
+
+
+def test_patch_sampler_respects_window_and_targets():
+    g = tiny_geometry()
+    images, flows = synthetic_sequence(g)
+    rng = np.random.RandomState(0)
+    ds = training.sample_patches(g, Learning(), images, flows, None, 32, rng)
+    assert len(ds) == 32
+    assert ds.patches1.shape == (32, g.hPatch2, g.wPatch2, 3)
+    for k in range(32):
+        dy, dx = ds.targets_yx[k]
+        assert -g.halfh1 <= dy <= g.halfh2
+        assert int(ds.itargets[k]) == codecs.yx2x(g, int(dy), int(dx))
+
+
+@pytest.mark.parametrize("criterion", ["nll", "mse", "soft"])
+def test_training_improves(criterion):
+    g = tiny_geometry()
+    lrn = Learning(rate=2e-1 if criterion != "mse" else 5e-2,
+                   rate_decay=0.0, n_epochs=3, criterion=criterion,
+                   soft_targets=(criterion == "soft"), batch_size=16)
+    images, flows = synthetic_sequence(g)
+    rng = np.random.RandomState(1)
+    ds = training.sample_patches(g, lrn, images, flows, None, 64, rng)
+
+    model = flow_model.FlowModel(g)
+    trainer = training.Trainer(model, lrn)
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    state, m0 = trainer.epoch(state, ds, shuffle_rng=np.random.RandomState(2))
+    first_loss = m0["loss"]
+    for _ in range(4):
+        state, m = trainer.epoch(state, ds, shuffle_rng=np.random.RandomState(2))
+    assert m["loss"] < first_loss, (first_loss, m)
+    assert m["acc"] >= m0["acc"] - 0.05
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    g = tiny_geometry()
+    lrn = Learning()
+    model = flow_model.FlowModel(g)
+    params = model.init(jax.random.PRNGKey(3))
+    d = str(tmp_path / model_io.model_dir_name(g, lrn))
+    model_io.save_model(d, g, lrn, params, score_history=[{"acc": 0.5}], epoch=2)
+    g2, lrn2, params2, meta = model_io.load_model(d)
+    assert g2 == g and lrn2 == lrn
+    assert meta["epoch"] == 2
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # version check
+    import json, os
+    mp = os.path.join(d, "meta.json")
+    meta_bad = json.load(open(mp)); meta_bad["version"] = 8
+    json.dump(meta_bad, open(mp, "w"))
+    with pytest.raises(ValueError):
+        model_io.load_model(d)
+
+
+def test_nan_guard_skips_update():
+    g = tiny_geometry()
+    lrn = Learning(rate=0.1, criterion="nll", batch_size=4)
+    model = flow_model.FlowModel(g)
+    trainer = training.Trainer(model, lrn)
+    state = trainer.init(jax.random.PRNGKey(0))
+    p1 = jnp.full((4, g.hPatch2, g.wPatch2, 3), jnp.nan)
+    p2 = jnp.zeros((4, g.hPatch2, g.wPatch2, 3))
+    it = jnp.zeros((4,), jnp.int32)
+    st = jnp.zeros((4, g.maxh * g.maxw), jnp.float32)
+    new_state, aux = trainer._step(state, p1, p2, it, st)
+    assert not bool(aux["grad_ok"])
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,90 @@
+"""Headline benchmark: 640x480 frame-pair flow+depth throughput per chip.
+
+Target (BASELINE.md): >= 500 frame-pairs/sec/chip. The pipeline benched is
+the full online inference path on device: conv feature trunk (both frames) ->
+fused Pallas matcher (match + softmax + WTA + soft-argmax, no cost volume in
+HBM) -> x-flow -> depth conversion (depth ~ m * |j - cx| / |flow|, the
+ARdroneAPI::computeDepthMapFromFlow rule,
+/root/reference/ardrone/ardrone_api.cpp:127-136).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+vs_baseline is value / 500 (the north-star target; the reference publishes
+no numbers of its own — see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.geometry import Geometry
+    from depth_estimation_tpu.models.flow import FlowModel, crop_features_center
+    from depth_estimation_tpu.ops import matching
+
+    g = Geometry(
+        hImg=480, wImg=640,
+        layers=((3, 16, 16, 10),),
+        maxh=16, maxw=16,
+    )
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+
+    BATCH = 4
+
+    @jax.jit
+    def pipeline(params, frames1, frames2):
+        f1 = crop_features_center(g, model.features(params, frames1))
+        f2 = model.features(params, frames2)
+        idx, ey, ex, pmax = matching.match_flow_fused(
+            f1, f2, g.maxh, g.maxw, 8
+        )
+        # depth from x-flow (translation magnitude m = 1)
+        W = ex.shape[-1]
+        cx = W / 2.0
+        j = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        absflow = jnp.abs(ex)
+        depth = jnp.where(absflow < 0.1, jnp.inf,
+                          jnp.abs(j - cx) / jnp.maximum(absflow, 0.1))
+        return ex, ey, depth, pmax
+
+    rng = np.random.RandomState(0)
+    f1 = jnp.asarray(rng.rand(BATCH, g.hImg, g.wImg, 3), jnp.float32)
+    f2 = jnp.asarray(rng.rand(BATCH, g.hImg, g.wImg, 3), jnp.float32)
+
+    # Timing methodology: on tunneled/remote device backends (axon),
+    # block_until_ready does not synchronize — only a host fetch does. So we
+    # measure N amortized calls ending in a scalar fetch, subtract the fetch
+    # round-trip measured on a trivial kernel, and divide.
+    nop = jax.jit(lambda x: x + 1.0)
+    float(nop(jnp.float32(1.0)))
+    out = pipeline(params, f1, f2)           # warmup/compile
+    float(out[1].sum())
+
+    t0 = time.perf_counter()
+    float(nop(jnp.float32(2.0)))
+    rtt = time.perf_counter() - t0
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = pipeline(params, f1, f2)
+    float(out[1].sum())                      # hard sync
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / (n_iters * BATCH)
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "640x480 frame-pairs/sec/chip (flow+depth)",
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(fps / 500.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

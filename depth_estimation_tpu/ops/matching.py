@@ -157,60 +157,71 @@ def match_flow_fused(
     f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
     block_rows: int = 8, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused match + decode. Returns (idx, ey, ex, pmax), each (H, W):
+    """Fused match + decode. Accepts (H, W, K) or batched (B, H, W, K)
+    inputs (batch is a native grid dimension — do NOT vmap this op; Pallas
+    ANY-space operands don't support vmap blocking).
+
+    Returns (idx, ey, ex, pmax), each ([B,] H, W):
       idx  int32 WTA flat window index (middle tie-break),
       ey/ex f32 soft-argmax centered displacement expectations,
       pmax f32 softmax probability of the WTA cell.
     """
-    H = f2.shape[0] - maxh + 1
-    W = f2.shape[1] - maxw + 1
-    K = f1.shape[2]
-    assert f1.shape == (H, W, K)
+    squeeze = f1.ndim == 3
+    if squeeze:
+        f1, f2 = f1[None], f2[None]
+    B = f1.shape[0]
+    H = f2.shape[1] - maxh + 1
+    W = f2.shape[2] - maxw + 1
+    K = f1.shape[3]
+    assert f1.shape == (B, H, W, K)
 
     # channels-first so wide spatial dims occupy sublanes/lanes
-    f1t = jnp.transpose(f1, (2, 0, 1)).astype(jnp.float32)
-    f2t = jnp.transpose(f2, (2, 0, 1)).astype(jnp.float32)
+    f1t = jnp.transpose(f1, (0, 3, 1, 2)).astype(jnp.float32)
+    f2t = jnp.transpose(f2, (0, 3, 1, 2)).astype(jnp.float32)
 
     # Mosaic constraints: DMA row offsets/shapes must be 8-aligned (f32
     # sublane tiling), so the block height is a multiple of 8 and the DMA'd
-    # slab is rounded up to a multiple of 8 rows.
+    # slab is rounded up to a multiple of 8 rows...
     th = max(8, (min(block_rows, H) // 8) * 8)
     n_blocks = pl.cdiv(H, th)
     slab_rows = -(-(th + maxh - 1) // 8) * 8
     rows_needed = (n_blocks - 1) * th + slab_rows
     pad1 = n_blocks * th - H
-    pad2 = rows_needed - f2t.shape[1]
+    pad2 = rows_needed - f2t.shape[2]
     # ... and the DMA'd slab's lane (width) dim must be a 128 multiple.
-    W2 = -(-f2.shape[1] // 128) * 128
-    padw = W2 - f2.shape[1]
+    W2 = -(-f2.shape[2] // 128) * 128
+    padw = W2 - f2.shape[2]
     if pad1 > 0:
-        f1t = jnp.pad(f1t, ((0, 0), (0, pad1), (0, 0)))
+        f1t = jnp.pad(f1t, ((0, 0), (0, 0), (0, pad1), (0, 0)))
     if pad2 > 0 or padw > 0:
-        f2t = jnp.pad(f2t, ((0, 0), (0, max(pad2, 0)), (0, padw)))
+        f2t = jnp.pad(f2t, ((0, 0), (0, 0), (0, max(pad2, 0)), (0, padw)))
 
     mid = (math.ceil(maxh / 2) - 1) * maxw + (math.ceil(maxw / 2) - 1)
     out_shape = [
-        jax.ShapeDtypeStruct((n_blocks * th, W), jnp.int32),
-        jax.ShapeDtypeStruct((n_blocks * th, W), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks * th, W), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks * th, W), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
     ]
 
     # f2 rows overlap between adjacent grid steps (each block needs
     # th + maxh - 1 rows starting at i*th), which BlockSpec's block-unit
     # indexing cannot express — so f2 stays in HBM (ANY) and each program
-    # DMAs its own overlapping slab into VMEM scratch.
+    # DMAs its own overlapping slab into VMEM scratch. Grid: (batch, rows).
     def kernel_dma_f2(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref):
-        i = pl.program_id(0)
-        # view of the slab for this row-block
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+
         def body(slab, sem):
             dma = pltpu.make_async_copy(
-                f2_ref.at[:, pl.ds(pl.multiple_of(i * th, 8), slab_rows), :],
+                f2_ref.at[b, :, pl.ds(pl.multiple_of(i * th, 8), slab_rows), :],
                 slab, sem,
             )
             dma.start()
             dma.wait()
-            _fused_kernel(f1_ref, slab, idx_ref, py_ref, px_ref, pmax_ref,
+            _fused_kernel(f1_ref.at[0], slab,
+                          idx_ref.at[0], py_ref.at[0], px_ref.at[0],
+                          pmax_ref.at[0],
                           maxh=maxh, maxw=maxw, mid=mid, th=th)
         pl.run_scoped(
             body,
@@ -219,14 +230,15 @@ def match_flow_fused(
         )
 
     grid_spec = pl.GridSpec(
-        grid=(n_blocks,),
+        grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((K, th, W), lambda i: (0, i, 0),
+            pl.BlockSpec((1, K, th, W), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # f2 stays in HBM; DMA slabs
         ],
         out_specs=[
-            pl.BlockSpec((th, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, th, W), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
     )
@@ -238,7 +250,9 @@ def match_flow_fused(
         interpret=interpret,
     )(f1t, f2t)
     if pad1 > 0:
-        idx, ey, ex, pmax = (a[:H] for a in (idx, ey, ex, pmax))
+        idx, ey, ex, pmax = (a[:, :H] for a in (idx, ey, ex, pmax))
+    if squeeze:
+        idx, ey, ex, pmax = (a[0] for a in (idx, ey, ex, pmax))
     return idx, ey, ex, pmax
 
 

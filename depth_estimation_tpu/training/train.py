@@ -177,7 +177,6 @@ class Trainer:
                             learning.weight_decay)
         self.loss_fn = make_loss_fn(model, learning)
 
-        @jax.jit
         def step(state: TrainState, p1, p2, itarget, soft_t):
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 state.params, p1, p2, itarget, soft_t)
@@ -193,7 +192,8 @@ class Trainer:
             aux = dict(aux, loss=loss, grad_ok=ok)
             return TrainState(params, opt_state, state.step + 1), aux
 
-        self._step = step
+        self._step_fn = step          # unjitted (for sharded re-jit)
+        self._step = jax.jit(step)
 
     def init(self, rng) -> TrainState:
         params = self.model.init(rng)

@@ -13,4 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's axon TPU plugin overrides JAX_PLATFORMS at import time;
+# an explicit config update wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

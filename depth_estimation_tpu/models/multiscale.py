@@ -1,0 +1,235 @@
+"""Multiscale (foveated pyramid) flow model — coarse-to-fine matcher.
+
+Rebuilds getModelMultiscale (/root/reference/opticalflow_model_multiscale.lua:175-373)
+with its three intricacies, each spec'd by /root/reference/tests/test_multiscale.lua:
+
+  * per-ratio pyramid: average-pool downsample by r, zero-pad by patch-1
+    (getMultiscalePrefilter padding, :137-141), shared siamese filter,
+    SSD matcher per scale (:219-230);
+  * cascading score fusion (nn.CascadingAddTable): each fine-scale window
+    distribution receives the central crop of every coarser scale's
+    distribution, upsampled onto the fine window via the ceil-centered map
+    ``coarse_cell = ceil(centered/r)`` and averaged over contributing scales
+    (spec: test_multiscale.lua:169-193; the shipped module sums and has its
+    beta-weight normalizers commented out — we implement the mean the test
+    asserts, with an optional raw-sum mode);
+  * middle-band removal + concatenation (:293-324): at each coarse scale the
+    central region already covered by finer scales is dropped and the four
+    remaining bands (top, left, right, bottom) are flattened in exactly the
+    codec order of yx2xMulti — so ``codecs.decode`` reads the concatenated
+    distribution directly.
+
+TPU-first: the cascade is a constant-index gather (no pad/resample modules),
+the whole pyramid compiles into one XLA program, and the foveated training
+path (``forward_fovea``) uses static-shape dynamic-slice crops.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from functools import lru_cache
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import codecs
+from ..geometry import Geometry
+from ..ops import matching
+from .filters import ConvFilter
+from .flow import crop_features_center
+
+
+# ---------------------------------------------------------------------------
+# Cascade gather maps
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _cascade_map(maxh: int, maxw: int, r: int) -> np.ndarray:
+    """(maxh*maxw,) int32: fine-window flat cell -> coarse-window flat cell of
+    a scale coarser by factor r, via the ceil-centered mapping
+    (test_multiscale.lua:179-186: filters_out[j][ceil(ii/r)+cy][ceil(jj/r)+cx])."""
+    cy, cx = math.ceil(maxh / 2), math.ceil(maxw / 2)
+    out = np.empty(maxh * maxw, np.int32)
+    for iy in range(maxh):
+        for ix in range(maxw):
+            ii = iy + 1 - cy           # centered, 1-based arithmetic
+            jj = ix + 1 - cx
+            ty = math.ceil(ii / r) + cy - 1
+            tx = math.ceil(jj / r) + cx - 1
+            out[iy * maxw + ix] = ty * maxw + tx
+    return out
+
+
+def cascade(geom: Geometry, dists: List[jnp.ndarray],
+            normalize: bool = True) -> List[jnp.ndarray]:
+    """Coarse-to-fine fusion. dists[i]: (..., maxh*maxw) distribution at
+    scale ratios[i]. Returns same-shaped list: out[i] = mean_{j >= i}
+    gather(dists[j]) (sum if normalize=False, matching the shipped
+    CascadingAddTable forward which dropped its normalizers)."""
+    n = len(geom.ratios)
+    out = []
+    for i in range(n):
+        acc = dists[i]
+        for j in range(i + 1, n):
+            r = geom.ratios[j] // geom.ratios[i]
+            m = jnp.asarray(_cascade_map(geom.maxh, geom.maxw, r))
+            acc = acc + jnp.take(dists[j], m, axis=-1)
+        if normalize:
+            acc = acc / (n - i)
+        out.append(acc)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Middle removal + band concatenation (the multiscale index layout)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _band_indices(geom: Geometry) -> np.ndarray:
+    """Concatenated gather indices selecting, per scale, the cells kept by
+    the middle-removers in codec order. Shape (n_indices,); entry k is
+    scale_offset*maxh*maxw + flat cell, where scale = k's scale."""
+    maxh, maxw = geom.maxh, geom.maxw
+    idx = []
+    # scale 0: everything
+    idx.extend(range(maxh * maxw))
+    for i in range(1, len(geom.ratios)):
+        d = codecs._border(geom, i)
+        base = i * maxh * maxw
+        # top band
+        for iy in range(d):
+            for ix in range(maxw):
+                idx.append(base + iy * maxw + ix)
+        # left band
+        for iy in range(d, maxh - d):
+            for ix in range(d):
+                idx.append(base + iy * maxw + ix)
+        # right band
+        for iy in range(d, maxh - d):
+            for ix in range(maxw - d, maxw):
+                idx.append(base + iy * maxw + ix)
+        # bottom band
+        for iy in range(maxh - d, maxh):
+            for ix in range(maxw):
+                idx.append(base + iy * maxw + ix)
+    out = np.asarray(idx, np.int32)
+    assert out.shape[0] == codecs.n_indices(geom), (out.shape, codecs.n_indices(geom))
+    return out
+
+
+def middle_removal_concat(geom: Geometry, dists: List[jnp.ndarray]) -> jnp.ndarray:
+    """Stack per-scale (..., maxh*maxw) distributions and select the
+    band-ordered cells -> (..., n_indices) in yx2xMulti layout."""
+    stacked = jnp.concatenate(dists, axis=-1)
+    return jnp.take(stacked, jnp.asarray(_band_indices(geom)), axis=-1)
+
+
+def log_eps(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """nn.Log2: log with input clamped below eps (NaN guard before NLL,
+    /root/reference/Log.lua:13-22)."""
+    return jnp.log(jnp.maximum(x, eps))
+
+
+# ---------------------------------------------------------------------------
+# Pyramid helpers
+# ---------------------------------------------------------------------------
+
+def avg_downsample(img: jnp.ndarray, r: int) -> jnp.ndarray:
+    """nnx SpatialDownSampling(r, r): average over non-overlapping r x r
+    blocks. img: (..., H, W, C)."""
+    if r == 1:
+        return img
+    *lead, H, W, C = img.shape
+    img = img[..., : (H // r) * r, : (W // r) * r, :]
+    img = img.reshape(*lead, H // r, r, W // r, r, C)
+    return img.mean(axis=(-4, -2))
+
+
+def pad_patch_border(geom: Geometry, img: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad by (hPatch2-1, wPatch2-1) split floor/ceil
+    (getMultiscalePrefilter, /root/reference/opticalflow_model_multiscale.lua:137-147)."""
+    hP, wP = geom.hPatch2 - 1, geom.wPatch2 - 1
+    pads = [(0, 0)] * (img.ndim - 3) + [
+        (hP // 2, hP - hP // 2), (wP // 2, wP - wP // 2), (0, 0)
+    ]
+    return jnp.pad(img, pads)
+
+
+class MultiscaleFlowModel:
+    """Functional multiscale matcher (shared filters across scales when
+    geometry.share_filters — the reference default)."""
+
+    def __init__(self, geometry: Geometry):
+        geometry.validate()
+        assert geometry.multiscale
+        assert geometry.output_extraction_method == "max", \
+            "multiscale supports the 'max' head only (reference assert, " \
+            "opticalflow_model_multiscale.lua:176)"
+        self.geometry = geometry
+        self.filter = ConvFilter(geometry)
+
+    def init(self, rng) -> dict:
+        g = self.geometry
+        dummy = jnp.zeros((g.hPatch2, g.wPatch2, g.in_channels), jnp.float32)
+        return self.filter.init(rng, dummy)
+
+    # -- per-scale matcher on an already-downsampled (padded) image pair ----
+
+    def _scale_costs(self, params, d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+        g = self.geometry
+        f1 = crop_features_center(g, self.filter.apply(params, d1))
+        f2 = self.filter.apply(params, d2)
+        return matching.match_ssd(f1, f2, g.maxh, g.maxw)
+
+    # -- full-image inference ----------------------------------------------
+
+    def forward_full(self, params, img1: jnp.ndarray, img2: jnp.ndarray,
+                     log: bool = False) -> jnp.ndarray:
+        """img1, img2: (hImg, wImg, C). Returns (hImg, wImg, n_indices)
+        multiscale distribution (log of it if ``log``)."""
+        g = self.geometry
+        dists = []
+        for r in g.ratios:
+            d1 = pad_patch_border(g, avg_downsample(img1, r))
+            d2 = pad_patch_border(g, avg_downsample(img2, r))
+            costs = self._scale_costs(params, d1, d2)
+            dist = jax.nn.softmax(-costs, axis=-1)
+            if r > 1:
+                # spatial upsample back to full res by replication
+                # (0-based Y reads coarse row Y // r — the ceil-centered
+                # 1-based convention)
+                dist = jnp.repeat(jnp.repeat(dist, r, axis=0), r, axis=1)
+                dist = dist[: g.hImg, : g.wImg]
+            dists.append(dist.reshape(g.hImg, g.wImg, -1))
+        fused = cascade(g, dists)
+        out = middle_removal_concat(g, fused)
+        return log_eps(out) if log else out
+
+    # -- foveated training path --------------------------------------------
+
+    def forward_fovea(self, params, img1: jnp.ndarray, img2: jnp.ndarray,
+                      y, x, log: bool = True) -> jnp.ndarray:
+        """Single fovea at 0-based center (y, x): per scale r, crop the
+        full-res (r*hPatch2, r*wPatch2) region whose *center pixel*
+        (ceil convention) is (y, x) — the invariant test_multiscale.lua
+        asserts at :111-120 — downsample, match, fuse. Returns
+        (n_indices,) distribution (log by default, the training head)."""
+        g = self.geometry
+        dists = []
+        for r in g.ratios:
+            Hc, Wc = r * g.hPatch2, r * g.wPatch2
+            y0 = y - (math.ceil(Hc / 2) - 1)
+            x0 = x - (math.ceil(Wc / 2) - 1)
+            c1 = jax.lax.dynamic_slice(
+                img1, (y0, x0, 0), (Hc, Wc, img1.shape[2]))
+            c2 = jax.lax.dynamic_slice(
+                img2, (y0, x0, 0), (Hc, Wc, img2.shape[2]))
+            costs = self._scale_costs(
+                params, avg_downsample(c1, r), avg_downsample(c2, r))
+            dists.append(jax.nn.softmax(-costs, axis=-1).reshape(-1))
+        fused = cascade(g, dists)
+        out = middle_removal_concat(g, fused)
+        return log_eps(out) if log else out

@@ -1,0 +1,354 @@
+"""Coarse-to-fine variational optical flow (Ce Liu's solver) in JAX.
+
+Rebuilds the celiu mex solver the reference uses as its "ground truth"
+generator (liuflow / celiu: /root/reference/celiu/mex/OpticalFlow.cpp):
+
+  * Gaussian pyramid with Liu's level/sigma schedule
+    (GaussianPyramid.cpp:45-76);
+  * im2feature: gray+dx+dy (1ch) or gray+dx+dy+(g-r)+(g-b) (3ch)
+    (OpticalFlow.cpp:1090-1130);
+  * IRLS ("outer/inner fixed point") with robust smoothness weight
+    Phi = 0.5/sqrt(|grad u|^2+|grad v|^2+eps) and data weight
+    Psi = 1/(2 sqrt((It + Ix du + Iy dv)^2 + eps)) under the Laplacian noise
+    model (OpticalFlow.cpp:258-339, noiseModel=Lap at :18);
+  * per-level iteration schedule nOuter+k, nSOR+3k (OpticalFlow.cpp:1006);
+  * bilinear warping with out-of-range pixels taking frame-1 values
+    (interpolation=Bilinear at :17, ImageProcessing warpImage).
+
+TPU-first deviation (documented): the omega=1.8 SOR relaxation is sequential
+Gauss-Seidel in the reference; here it is RED-BLACK SOR — the classic
+parallel reordering that solves the same linear system (same A, same b, same
+omega) with checkerboard sweeps, mapping onto the VPU as dense elementwise
+updates. Fixed points are identical; iterates differ only in sweep order.
+``tests/test_celiu.py`` verifies convergence to the sequential solver's
+solution on the same system.
+
+Layout: images are (H, W, C) float32 in [0, 1], flow fields (H, W).
+vx = x (column) flow, vy = y (row) flow, matching the mex convention.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# image helpers (clamp-boundary separable filters, bilinear sampling)
+# ---------------------------------------------------------------------------
+
+def _hfilter(img: jnp.ndarray, f: np.ndarray) -> jnp.ndarray:
+    """Horizontal correlation with clamp (replicate) boundary
+    (ImageProcessing::hfiltering)."""
+    r = len(f) // 2
+    p = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="edge")
+    out = jnp.zeros_like(img)
+    for k, w in enumerate(f):
+        out = out + w * jax.lax.slice_in_dim(p, k, k + img.shape[1], axis=1)
+    return out
+
+
+def _vfilter(img: jnp.ndarray, f: np.ndarray) -> jnp.ndarray:
+    r = len(f) // 2
+    p = jnp.pad(img, ((r, r), (0, 0), (0, 0)), mode="edge")
+    out = jnp.zeros_like(img)
+    for k, w in enumerate(f):
+        out = out + w * jax.lax.slice_in_dim(p, k, k + img.shape[0], axis=0)
+    return out
+
+
+_DERIV5 = np.array([1, -8, 0, 8, -1], np.float32) / 12.0
+
+
+def dx_advanced(img: jnp.ndarray) -> jnp.ndarray:
+    """5-tap derivative filter (Image<T>::dx advanced,
+    /root/reference/celiu/mex/Image.h:965-969)."""
+    return _hfilter(img, _DERIV5)
+
+
+def dy_advanced(img: jnp.ndarray) -> jnp.ndarray:
+    return _vfilter(img, _DERIV5)
+
+
+def dx_forward(img: jnp.ndarray) -> jnp.ndarray:
+    """Forward difference, last column zero (Image<T>::dx simple)."""
+    d = img[:, 1:] - img[:, :-1]
+    return jnp.pad(d, [(0, 0), (0, 1)] + [(0, 0)] * (img.ndim - 2))
+
+
+def dy_forward(img: jnp.ndarray) -> jnp.ndarray:
+    d = img[1:] - img[:-1]
+    return jnp.pad(d, [(0, 1)] + [(0, 0)] * (img.ndim - 1))
+
+
+def gaussian_smooth(img: jnp.ndarray, sigma: float, fsize: int) -> jnp.ndarray:
+    """Separable Gaussian with clamp boundary (Image::GaussianSmoothing)."""
+    xs = np.arange(-fsize, fsize + 1, dtype=np.float64)
+    f = np.exp(-(xs ** 2) / (2 * sigma * sigma))
+    f = (f / f.sum()).astype(np.float32)
+    return _vfilter(_hfilter(img, f), f)
+
+
+def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample img (H, W, C) at continuous (x, y) with clamped corners
+    (ImageProcessing::BilinearInterpolate, clamp via EnforceRange)."""
+    H, W = img.shape[0], img.shape[1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    dx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    dy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+
+    def at(yy, xx):
+        return img[jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+
+    return ((1 - dx) * (1 - dy) * at(y0, x0)
+            + dx * (1 - dy) * at(y0, x0 + 1)
+            + (1 - dx) * dy * at(y0 + 1, x0)
+            + dx * dy * at(y0 + 1, x0 + 1))
+
+
+def imresize(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
+    """Liu's resize: sample at x = (j+1)/ratio - 1
+    (ImageProcessing::ResizeImage, :202-219)."""
+    H, W = img.shape[0], img.shape[1]
+    rx = dst_w / W
+    ry = dst_h / H
+    j = jnp.arange(dst_w, dtype=jnp.float32)
+    i = jnp.arange(dst_h, dtype=jnp.float32)
+    x = (j + 1.0) / rx - 1.0
+    y = (i + 1.0) / ry - 1.0
+    xx, yy = jnp.meshgrid(x, y)
+    return bilinear_sample(img, xx, yy)
+
+
+def warp_image(im1: jnp.ndarray, im2: jnp.ndarray,
+               vx: jnp.ndarray, vy: jnp.ndarray) -> jnp.ndarray:
+    """warpIm2(i,j) = im2(i+vy, j+vx) bilinear; out-of-range pixels copy im1
+    (ImageProcessing::warpImage with pIm1 fallback)."""
+    H, W = im1.shape[0], im1.shape[1]
+    j = jnp.arange(W, dtype=jnp.float32)[None, :]
+    i = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = j + vx
+    y = i + vy
+    warped = bilinear_sample(im2, x, y)
+    oob = (x < 0) | (x > W - 1) | (y < 0) | (y > H - 1)
+    return jnp.where(oob[..., None], im1, warped)
+
+
+# ---------------------------------------------------------------------------
+# pyramid and features
+# ---------------------------------------------------------------------------
+
+def pyramid_shapes(h: int, w: int, ratio: float, min_width: int) -> List[Tuple[int, int]]:
+    if ratio > 0.98 or ratio < 0.4:
+        ratio = 0.75
+    n_levels = int(math.log(min_width / w) / math.log(ratio))
+    shapes = [(h, w)]
+    for i in range(1, n_levels):
+        shapes.append((int(h * ratio ** i), int(w * ratio ** i)))
+    return shapes
+
+
+def build_pyramid(img: jnp.ndarray, ratio: float, min_width: int) -> List[jnp.ndarray]:
+    """GaussianPyramid::ConstructPyramid (GaussianPyramid.cpp:45-76)."""
+    if ratio > 0.98 or ratio < 0.4:
+        ratio = 0.75
+    shapes = pyramid_shapes(img.shape[0], img.shape[1], ratio, min_width)
+    base_sigma = 1 / ratio - 1
+    n = int(math.log(0.25) / math.log(ratio))
+    n_sigma = base_sigma * n
+    pyr = [img]
+    for i in range(1, len(shapes)):
+        if i <= n:
+            sigma = base_sigma * i
+            foo = gaussian_smooth(img, sigma, int(sigma * 3))
+            pyr.append(imresize(foo, *shapes[i]))
+        else:
+            foo = gaussian_smooth(pyr[i - n], n_sigma, int(n_sigma * 3))
+            pyr.append(imresize(foo, *shapes[i]))
+    return pyr
+
+
+def im2feature(img: jnp.ndarray) -> jnp.ndarray:
+    """OpticalFlow::im2feature (OpticalFlow.cpp:1090-1130)."""
+    C = img.shape[2]
+    if C == 1:
+        return jnp.concatenate([img, dx_advanced(img), dy_advanced(img)], axis=2)
+    if C == 3:
+        w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+        gray = (img * w).sum(-1, keepdims=True)
+        return jnp.concatenate([
+            gray, dx_advanced(gray), dy_advanced(gray),
+            (img[..., 1] - img[..., 0])[..., None],   # g - r
+            (img[..., 1] - img[..., 2])[..., None],   # g - b
+        ], axis=2)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# the IRLS + red-black SOR solver for one pyramid level
+# ---------------------------------------------------------------------------
+
+_GFILTER = np.array([0.02, 0.11, 0.74, 0.11, 0.02], np.float32)
+
+
+def get_dxs(im1: jnp.ndarray, im2: jnp.ndarray):
+    """OpticalFlow::getDxs: smooth both, Im = 0.4 Im1 + 0.6 Im2, 5-tap
+    derivatives, dt = Im2s - Im1s (OpticalFlow.cpp:34-62)."""
+    s1 = _vfilter(_hfilter(im1, _GFILTER), _GFILTER)
+    s2 = _vfilter(_hfilter(im2, _GFILTER), _GFILTER)
+    im = 0.4 * s1 + 0.6 * s2
+    return dx_advanced(im), dy_advanced(im), s2 - s1
+
+
+def _neighbor_weights(phi: jnp.ndarray):
+    """Edge weights of the 5-point stencil, zero at the image boundary
+    (the SOR loop's j>0 / j<W-1 / i>0 / i<H-1 guards, OpticalFlow.cpp:381-427):
+    west edge uses phi[west], east/south use phi[self], north uses phi[north]."""
+    H, W = phi.shape
+    w_w = jnp.pad(phi[:, :-1], ((0, 0), (1, 0)))
+    w_e = phi * (jnp.arange(W) < W - 1)[None, :]
+    w_n = jnp.pad(phi[:-1, :], ((1, 0), (0, 0)))
+    w_s = phi * (jnp.arange(H) < H - 1)[:, None]
+    return w_w, w_e, w_n, w_s
+
+
+def _nsum(f: jnp.ndarray, w_w, w_e, w_n, w_s) -> jnp.ndarray:
+    left = jnp.pad(f[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(f[:, 1:], ((0, 0), (0, 1)))
+    up = jnp.pad(f[:-1, :], ((1, 0), (0, 0)))
+    down = jnp.pad(f[1:, :], ((0, 1), (0, 0)))
+    return w_w * left + w_e * right + w_n * up + w_s * down
+
+
+def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
+                    n_outer: int, n_inner: int, n_sor: int):
+    """One pyramid level of IRLS (OpticalFlow::SmoothFlowSOR,
+    OpticalFlow.cpp:194-452), red-black SOR inside."""
+    eps_phi = 1e-6
+    eps_psi = 1e-6
+    omega = 1.8
+    H, W = u.shape
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    red = jnp.asarray((ii + jj) % 2 == 0)
+
+    for count in range(n_outer):
+        imdx, imdy, imdt = get_dxs(im1f, warp)
+        du = jnp.zeros_like(u)
+        dv = jnp.zeros_like(v)
+
+        for hh in range(n_inner):
+            uu = u if hh == 0 else u + du
+            vv = v if hh == 0 else v + dv
+            ux, uy = dx_forward(uu), dy_forward(uu)
+            vx_, vy_ = dx_forward(vv), dy_forward(vv)
+            phi = 0.5 / jnp.sqrt(ux * ux + uy * uy + vx_ * vx_ + vy_ * vy_
+                                 + eps_phi)
+
+            temp = imdt + imdx * du[..., None] + imdy * dv[..., None]
+            psi = 1.0 / (2.0 * jnp.sqrt(temp * temp + eps_psi))
+            # Laplacian-noise gate: channels whose estimated noise is ~0
+            # keep psi = 0 (OpticalFlow.cpp:332-338)
+            psi = psi * (lap_para >= 1e-20)
+
+            # collapse = channel average (Image::collapse average mode)
+            imdxy = jnp.mean(psi * imdx * imdy, axis=-1)
+            imdx2 = jnp.mean(psi * imdx * imdx, axis=-1)
+            imdy2 = jnp.mean(psi * imdy * imdy, axis=-1)
+            imdtdx = jnp.mean(psi * imdx * imdt, axis=-1)
+            imdtdy = jnp.mean(psi * imdy * imdt, axis=-1)
+
+            # weighted Laplacian of the current flow (divergence form)
+            def lap(f):
+                fh = dx_forward(f[..., None])[..., 0] * phi
+                fv = dy_forward(f[..., None])[..., 0] * phi
+                out = -fh - fv
+                out = out + jnp.pad(fh[:, :-1], ((0, 0), (1, 0)))
+                out = out + jnp.pad(fv[:-1, :], ((1, 0), (0, 0)))
+                return out
+
+            b1 = -imdtdx - alpha * lap(u)
+            b2 = -imdtdy - alpha * lap(v)
+
+            w_w, w_e, w_n, w_s = _neighbor_weights(phi)
+            coeff = alpha * (w_w + w_e + w_n + w_s)
+            denom_u = imdx2 + alpha * 0.05 + coeff
+            denom_v = imdy2 + alpha * 0.05 + coeff
+
+            def sor_iter(_, duv):
+                du, dv = duv
+                for color in (red, ~red):
+                    s1 = -alpha * _nsum(du, w_w, w_e, w_n, w_s) \
+                        + imdxy * dv
+                    du_new = (1 - omega) * du + omega / denom_u * (b1 - s1)
+                    du = jnp.where(color, du_new, du)
+                    s2 = -alpha * _nsum(dv, w_w, w_e, w_n, w_s) \
+                        + imdxy * du
+                    dv_new = (1 - omega) * dv + omega / denom_v * (b2 - s2)
+                    dv = jnp.where(color, dv_new, dv)
+                return du, dv
+
+            du, dv = jax.lax.fori_loop(0, n_sor, sor_iter, (du, dv))
+
+        u = u + du
+        v = v + dv
+        warp = warp_image(im1f, im2f, u, v)
+
+        # estLaplacianNoise (OpticalFlow.cpp:817-855): per-channel mean |It|
+        diff = jnp.abs(im1f - warp)
+        valid = (diff > 0) & (diff < 1e6)
+        cnt = jnp.maximum(valid.sum(axis=(0, 1)), 1)
+        lap_para = (diff * valid).sum(axis=(0, 1)) / cnt
+    return u, v, warp, lap_para
+
+
+# ---------------------------------------------------------------------------
+# coarse-to-fine driver
+# ---------------------------------------------------------------------------
+
+def coarse2fine_flow(
+    im1: jnp.ndarray, im2: jnp.ndarray,
+    alpha: float = 1.0, ratio: float = 0.5, min_width: int = 40,
+    n_outer: int = 3, n_inner: int = 1, n_sor: int = 20,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full Coarse2FineFlow (OpticalFlow.cpp:944-1015). Defaults are the mex
+    entry point's (Coarse2FineTwoFrames.cpp:66-72). Returns (vx, vy, warped).
+    The reference trainer's 'liu' GT uses alpha=0.005, ratio=0.75,
+    minWidth=30, 5/1/40 (/root/reference/groundtruth_opticalflow_celiu.lua:9-14)."""
+    im1 = jnp.asarray(im1, jnp.float32)
+    im2 = jnp.asarray(im2, jnp.float32)
+    if im1.ndim == 2:
+        im1, im2 = im1[..., None], im2[..., None]
+    pyr1 = build_pyramid(im1, ratio, min_width)
+    pyr2 = build_pyramid(im2, ratio, min_width)
+    if ratio > 0.98 or ratio < 0.4:
+        ratio = 0.75
+
+    n_ch = 3 if im1.shape[2] == 1 else (5 if im1.shape[2] == 3 else im1.shape[2])
+    lap_para = jnp.full((n_ch,), 0.02, jnp.float32)
+
+    u = v = None
+    warp = None
+    for k in range(len(pyr1) - 1, -1, -1):
+        f1 = im2feature(pyr1[k])
+        f2 = im2feature(pyr2[k])
+        h, w = f1.shape[0], f1.shape[1]
+        if u is None:
+            u = jnp.zeros((h, w), jnp.float32)
+            v = jnp.zeros((h, w), jnp.float32)
+            warp = f2
+        else:
+            u = imresize(u[..., None], h, w)[..., 0] * (1 / ratio)
+            v = imresize(v[..., None], h, w)[..., 0] * (1 / ratio)
+            warp = warp_image(f1, f2, u, v)
+        u, v, warp, lap_para = smooth_flow_sor(
+            f1, f2, warp, u, v, lap_para, alpha,
+            n_outer + k, n_inner, n_sor + k * 3,
+        )
+    warped = jnp.clip(warp_image(im1, im2, u, v), 0.0, 1.0)
+    return u, v, warped

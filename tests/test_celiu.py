@@ -1,0 +1,112 @@
+"""Variational flow solver tests: red-black SOR reaches the sequential
+Gauss-Seidel solution (same linear system), zero-motion and known-shift
+recovery, and a real-pair check on the bundled celiu car images
+(/root/reference/celiu/car1.jpg — read-only test fixtures)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from depth_estimation_tpu.flow import celiu
+
+
+def sequential_sor(phi, imdxy, imdx2, imdy2, b1, b2, alpha, n_iter, omega=1.8):
+    """Literal numpy port of the reference SOR loop
+    (/root/reference/celiu/mex/OpticalFlow.cpp:381-427)."""
+    H, W = phi.shape
+    du = np.zeros((H, W)); dv = np.zeros((H, W))
+    for _ in range(n_iter):
+        for i in range(H):
+            for j in range(W):
+                s1 = s2 = coeff = 0.0
+                if j > 0:
+                    w = phi[i, j - 1]; s1 += w * du[i, j - 1]; s2 += w * dv[i, j - 1]; coeff += w
+                if j < W - 1:
+                    w = phi[i, j]; s1 += w * du[i, j + 1]; s2 += w * dv[i, j + 1]; coeff += w
+                if i > 0:
+                    w = phi[i - 1, j]; s1 += w * du[i - 1, j]; s2 += w * dv[i - 1, j]; coeff += w
+                if i < H - 1:
+                    w = phi[i, j]; s1 += w * du[i + 1, j]; s2 += w * dv[i + 1, j]; coeff += w
+                s1 *= -alpha; s2 *= -alpha; coeff *= alpha
+                s1 += imdxy[i, j] * dv[i, j]
+                du[i, j] = (1 - omega) * du[i, j] + omega / (imdx2[i, j] + alpha * 0.05 + coeff) * (b1[i, j] - s1)
+                s2 += imdxy[i, j] * du[i, j]
+                dv[i, j] = (1 - omega) * dv[i, j] + omega / (imdy2[i, j] + alpha * 0.05 + coeff) * (b2[i, j] - s2)
+    return du, dv
+
+
+def test_redblack_sor_matches_sequential_fixed_point():
+    """Both orderings solve the same system: after enough iterations the
+    solutions coincide."""
+    rng = np.random.RandomState(0)
+    H, W = 12, 14
+    phi = rng.rand(H, W).astype(np.float32) + 0.1
+    imdxy = (rng.rand(H, W).astype(np.float32) - 0.5) * 0.1
+    imdx2 = rng.rand(H, W).astype(np.float32) + 0.5
+    imdy2 = rng.rand(H, W).astype(np.float32) + 0.5
+    b1 = rng.randn(H, W).astype(np.float32)
+    b2 = rng.randn(H, W).astype(np.float32)
+    alpha = 0.5
+
+    want_du, want_dv = sequential_sor(phi, imdxy, imdx2, imdy2, b1, b2,
+                                      alpha, 300)
+
+    red = jnp.asarray((np.add.outer(np.arange(H), np.arange(W)) % 2) == 0)
+    w_w, w_e, w_n, w_s = celiu._neighbor_weights(jnp.asarray(phi))
+    coeff = alpha * (w_w + w_e + w_n + w_s)
+    denom_u = jnp.asarray(imdx2) + alpha * 0.05 + coeff
+    denom_v = jnp.asarray(imdy2) + alpha * 0.05 + coeff
+    du = jnp.zeros((H, W)); dv = jnp.zeros((H, W))
+    omega = 1.8
+    for _ in range(600):
+        for color in (red, ~red):
+            s1 = -alpha * celiu._nsum(du, w_w, w_e, w_n, w_s) + jnp.asarray(imdxy) * dv
+            du = jnp.where(color, (1 - omega) * du + omega / denom_u * (jnp.asarray(b1) - s1), du)
+            s2 = -alpha * celiu._nsum(dv, w_w, w_e, w_n, w_s) + jnp.asarray(imdxy) * du
+            dv = jnp.where(color, (1 - omega) * dv + omega / denom_v * (jnp.asarray(b2) - s2), dv)
+
+    np.testing.assert_allclose(np.asarray(du), want_du, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), want_dv, atol=1e-4)
+
+
+def test_zero_motion_gives_zero_flow():
+    rng = np.random.RandomState(1)
+    im = rng.rand(40, 48, 1).astype(np.float32)
+    u, v, warped = celiu.coarse2fine_flow(im, im, alpha=1.0, ratio=0.5,
+                                          min_width=20)
+    assert np.abs(np.asarray(u)).max() < 0.05
+    assert np.abs(np.asarray(v)).max() < 0.05
+
+
+def test_known_shift_recovered():
+    rng = np.random.RandomState(2)
+    base = rng.rand(80, 96, 1).astype(np.float32)
+    base = np.asarray(celiu.gaussian_smooth(jnp.asarray(base), 1.5, 4))
+    dx = 2
+    im1 = base[:, 4:84]
+    im2 = base[:, 4 - dx:84 - dx]   # im2(x) = im1(x - dx): flow vx = +?
+    # im2 sampled dx to the left: feature at im1 x appears at im2 x+dx
+    u, v, _ = celiu.coarse2fine_flow(im1, im2, alpha=0.02, ratio=0.75,
+                                     min_width=20, n_outer=5, n_inner=1,
+                                     n_sor=40)
+    inner_u = np.asarray(u)[12:-12, 12:-12]
+    inner_v = np.asarray(v)[12:-12, 12:-12]
+    assert abs(np.median(inner_u) - dx) < 0.25, np.median(inner_u)
+    assert abs(np.median(inner_v)) < 0.25, np.median(inner_v)
+
+
+def test_car_pair_photometric_improvement():
+    """On the bundled real pair, warping by the solved flow must reduce the
+    photometric error a lot vs identity warp."""
+    from depth_estimation_tpu.data.images import load_image, scale
+    im1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"), 96, 128))
+    im2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"), 96, 128))
+    u, v, warped = celiu.coarse2fine_flow(im1, im2, alpha=0.02, ratio=0.75,
+                                          min_width=30, n_outer=5, n_inner=1,
+                                          n_sor=30)
+    err_id = np.abs(im1 - im2).mean()
+    err_warp = np.abs(im1 - np.asarray(warped)).mean()
+    assert err_warp < 0.55 * err_id, (err_id, err_warp)
+    # flow magnitudes are sane (car pair has modest motion)
+    assert np.abs(np.asarray(u)).max() < 30

@@ -1,0 +1,355 @@
+"""Ego-motion estimation: feature tracking + robust model fitting.
+
+Rebuilds the reference's geometry stack on device:
+
+  * Shi-Tomasi corner detection + pyramidal Lucas-Kanade tracking — the
+    opencv GoodFeaturesToTrack / TrackPyrLK calls
+    (/root/reference/motion_correction.lua:243-249,
+    radial/test_radial_opticalflow.lua:96-107). Static shapes: always returns
+    max_points corners with a validity mask (rejection stays masked, not
+    dynamically shaped — XLA-friendly).
+  * the 4-DoF (pan, tilt, zoom, roll) linear flow model fit by least squares
+    with RANSAC — a faithful port of lsq_trans / lsq_trans_ransac
+    (/root/reference/motion_correction.lua:90-169), vectorized over a fixed
+    batch of samples instead of the reference's sequential adaptive count.
+  * essential-matrix ego-motion (R, T, inlier count) — the sfm2.getEgoMotion
+    / getEgoMotion2 surface (/root/reference/groundtruth_opticalflow.lua:283,
+    radial/test_radial_opticalflow.lua:121-127): batched 8-point algorithm
+    over RANSAC samples, E -> (R, t) disambiguation by cheirality, Sampson
+    inlier count. The epipole is e2 = K T / T_3
+    (/root/reference/radial/test_radial_opticalflow.lua:129-130).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Shi-Tomasi corners
+# ---------------------------------------------------------------------------
+
+def _to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    if img.ndim == 3 and img.shape[2] == 3:
+        w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+        return (img * w).sum(-1)
+    return img[..., 0] if img.ndim == 3 else img
+
+
+def _box(img: jnp.ndarray, k: int) -> jnp.ndarray:
+    p = jnp.pad(img, ((k // 2, k - 1 - k // 2), (k // 2, k - 1 - k // 2)))
+    return jax.lax.reduce_window(p, 0.0, jax.lax.add, (k, k), (1, 1), "VALID")
+
+
+def good_features_to_track(
+    img: jnp.ndarray, max_points: int, quality: float = 0.01,
+    min_dist: int = 8, block: int = 5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (pts (N, 2) float32 as (x, y), valid (N,) bool). Shi-Tomasi
+    min-eigenvalue score, quality gate relative to the best corner, greedy
+    non-max suppression via a min_dist x min_dist max-pool."""
+    g = _to_gray(img)
+    gx = (jnp.pad(g[:, 2:], ((0, 0), (0, 2))) - jnp.pad(g[:, :-2], ((0, 0), (2, 0)))) / 2
+    gy = (jnp.pad(g[2:, :], ((0, 2), (0, 0))) - jnp.pad(g[:-2, :], ((2, 0), (0, 0)))) / 2
+    ixx = _box(gx * gx, block)
+    iyy = _box(gy * gy, block)
+    ixy = _box(gx * gy, block)
+    tr = ixx + iyy
+    det = ixx * iyy - ixy * ixy
+    lam_min = tr / 2 - jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+    # suppress borders
+    H, W = g.shape
+    b = max(block, 3)
+    border = jnp.zeros((H, W), bool).at[b:-b, b:-b].set(True)
+    lam = jnp.where(border, lam_min, 0.0)
+    # non-max suppression
+    k = max(int(min_dist) | 1, 3)
+    p = jnp.pad(lam, ((k // 2, k - 1 - k // 2), (k // 2, k - 1 - k // 2)),
+                constant_values=-jnp.inf)
+    mx = jax.lax.reduce_window(p, -jnp.inf, jax.lax.max, (k, k), (1, 1), "VALID")
+    is_peak = (lam >= mx) & (lam > 0)
+    score = jnp.where(is_peak, lam, 0.0).reshape(-1)
+    vals, flat = jax.lax.top_k(score, max_points)
+    ys = (flat // W).astype(jnp.float32)
+    xs = (flat % W).astype(jnp.float32)
+    valid = vals > quality * jnp.maximum(vals[0], 1e-20)
+    return jnp.stack([xs, ys], axis=-1), valid
+
+
+# ---------------------------------------------------------------------------
+# Pyramidal Lucas-Kanade tracking
+# ---------------------------------------------------------------------------
+
+def _sample_patches(img: jnp.ndarray, pts: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Bilinear (win, win) patches centered (ceil) on pts (N, 2=(x,y))."""
+    off = jnp.arange(win, dtype=jnp.float32) - (win - 1) / 2.0
+    dy, dx = jnp.meshgrid(off, off, indexing="ij")
+    xs = pts[:, 0][:, None, None] + dx[None]
+    ys = pts[:, 1][:, None, None] + dy[None]
+    from ..flow.celiu import bilinear_sample
+    return bilinear_sample(img[..., None], xs, ys)[..., 0]
+
+
+def track_lk(
+    img1: jnp.ndarray, img2: jnp.ndarray, pts: jnp.ndarray,
+    win: int = 15, n_levels: int = 3, n_iters: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Track pts from img1 to img2 (OpenCV TrackPyrLK semantics). Returns
+    (pts2 (N, 2), status (N,) bool)."""
+    g1 = _to_gray(jnp.asarray(img1))
+    g2 = _to_gray(jnp.asarray(img2))
+    from ..models.multiscale import avg_downsample
+    pyr1 = [g1]
+    pyr2 = [g2]
+    for _ in range(n_levels - 1):
+        pyr1.append(avg_downsample(pyr1[-1][..., None], 2)[..., 0])
+        pyr2.append(avg_downsample(pyr2[-1][..., None], 2)[..., 0])
+
+    d = jnp.zeros_like(pts)
+    for lvl in range(n_levels - 1, -1, -1):
+        scale = 2.0 ** lvl
+        p_lvl = pts / scale
+        i1 = pyr1[lvl]
+        i2 = pyr2[lvl]
+        t = _sample_patches(i1, p_lvl, win)                 # template
+        # spatial gradients of the template (central diffs inside the patch)
+        tx = (t[:, :, 2:] - t[:, :, :-2]) / 2
+        ty = (t[:, 2:, :] - t[:, :-2, :]) / 2
+        tx = tx[:, 1:-1, :]
+        ty = ty[:, :, 1:-1]
+        a11 = (tx * tx).sum((1, 2))
+        a12 = (tx * ty).sum((1, 2))
+        a22 = (ty * ty).sum((1, 2))
+        det = a11 * a22 - a12 * a12
+
+        def body(_, dcur):
+            w = _sample_patches(i2, p_lvl + dcur / scale, win)
+            err = (w - t)[:, 1:-1, 1:-1]
+            b1 = (err * tx).sum((1, 2))
+            b2 = (err * ty).sum((1, 2))
+            ddx = -(a22 * b1 - a12 * b2) / jnp.maximum(det, 1e-8)
+            ddy = -(-a12 * b1 + a11 * b2) / jnp.maximum(det, 1e-8)
+            return dcur + jnp.stack([ddx, ddy], -1) * scale
+        d = jax.lax.fori_loop(0, n_iters, body, d)
+
+    pts2 = pts + d
+    H, W = g1.shape
+    m = win // 2 + 1
+    status = ((pts2[:, 0] >= m) & (pts2[:, 0] <= W - 1 - m)
+              & (pts2[:, 1] >= m) & (pts2[:, 1] <= H - 1 - m)
+              & jnp.isfinite(pts2).all(-1))
+    return pts2, status
+
+
+# ---------------------------------------------------------------------------
+# 4-DoF (pan, tilt, zoom, roll) model — motion_correction port
+# ---------------------------------------------------------------------------
+
+def _lsq_features(pts_in, pts_out, w_center, h_center):
+    """Per-point basis of the 4-DoF linear flow model
+    (lsq_trans, /root/reference/motion_correction.lua:90-147): flow f is fit
+    as x1*p + x2*t + x3*z + x4*r with p=(-1,0), t=(0,-1), z=-pt, r=(pt_y,-pt_x)."""
+    pt = pts_in - jnp.asarray([w_center, h_center])
+    mpt = pts_out - jnp.asarray([w_center, h_center])
+    f = mpt - pt
+    p = jnp.broadcast_to(jnp.asarray([-1.0, 0.0]), pt.shape)
+    t = jnp.broadcast_to(jnp.asarray([0.0, -1.0]), pt.shape)
+    z = -pt
+    r = jnp.stack([pt[:, 1], -pt[:, 0]], -1)
+    return f, (p, t, z, r)
+
+
+def lsq_trans(pts_in, pts_out, w_center, h_center, weights=None):
+    """Weighted least squares of the 4-DoF model. Returns (H (2,3), x (4,))."""
+    f, basis = _lsq_features(pts_in, pts_out, w_center, h_center)
+    B = jnp.stack(basis, axis=1)                    # (N, 4, 2)
+    if weights is None:
+        weights = jnp.ones(f.shape[0], f.dtype)
+    w = weights[:, None, None]
+    A = jnp.einsum("nac,nbc->ab", B * w, B)
+    b = jnp.einsum("nac,nc->a", B * w, f)
+    x = jnp.linalg.solve(A + 1e-9 * jnp.eye(4), b)
+    dtheta = -jnp.arctan(x[3])
+    c, s = jnp.cos(dtheta), jnp.sin(dtheta)
+    H = jnp.array([
+        [c, s, (1 - c) * w_center - s * h_center],
+        [-s, c, s * w_center - (1 - c) * h_center],
+    ])
+    H = H.at[0, 2].add(x[0])
+    H = H.at[1, 2].add(x[1])
+    return H, x
+
+
+def _model_residuals(x, pts_in, pts_out, w_center, h_center):
+    f, (p, t, z, r) = _lsq_features(pts_in, pts_out, w_center, h_center)
+    fout = x[0] * p + x[1] * t + x[2] * z + x[3] * r
+    return jnp.linalg.norm(fout - f, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def lsq_trans_ransac(pts_in, pts_out, w_center, h_center,
+                     n_samples: int = 64, key=None):
+    """RANSAC over minimal 5-point samples, all samples evaluated in one
+    batched solve (the TPU reformulation of lsq_trans_ransac,
+    /root/reference/motion_correction.lua:149-169 — fixed sample count
+    instead of the sequential p=0.99 adaptive loop). Inlier rule: residual
+    <= sqrt(5.99 * std(residuals)^2) (:48)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = pts_in.shape[0]
+    idx = jax.random.randint(key, (n_samples, 5), 0, n)
+
+    def fit_and_score(sample_idx):
+        _, x = lsq_trans(pts_in[sample_idx], pts_out[sample_idx],
+                         w_center, h_center)
+        d = _model_residuals(x, pts_in, pts_out, w_center, h_center)
+        thr = jnp.sqrt(5.99) * jnp.std(d)
+        return x, (d <= thr).sum()
+
+    xs, inliers = jax.vmap(fit_and_score)(idx)
+    best = jnp.argmax(inliers)
+    x = xs[best]
+    dtheta = -jnp.arctan(x[3])
+    c, s = jnp.cos(dtheta), jnp.sin(dtheta)
+    H = jnp.array([
+        [c, s, (1 - c) * w_center - s * h_center],
+        [-s, c, s * w_center - (1 - c) * h_center],
+    ])
+    H = H.at[0, 2].add(x[0])
+    H = H.at[1, 2].add(x[1])
+    return H, inliers[best]
+
+
+def warp_affine(img: jnp.ndarray, H) -> jnp.ndarray:
+    """Nearest-neighbor affine warp (WarpAffine inline C,
+    /root/reference/motion_correction.lua:171-200): out(i,j) = img(round(H [j i 1]))."""
+    Hm = jnp.asarray(H, jnp.float32)
+    Ht, Wd = img.shape[0], img.shape[1]
+    j = jnp.arange(Wd, dtype=jnp.float32)
+    i = jnp.arange(Ht, dtype=jnp.float32)
+    xx, yy = jnp.meshgrid(j, i)
+    xs = jnp.round(Hm[0, 0] * xx + Hm[0, 1] * yy + Hm[0, 2]).astype(jnp.int32)
+    ys = jnp.round(Hm[1, 0] * xx + Hm[1, 1] * yy + Hm[1, 2]).astype(jnp.int32)
+    ok = (xs >= 0) & (xs < Wd) & (ys >= 0) & (ys < Ht)
+    out = img[jnp.clip(ys, 0, Ht - 1), jnp.clip(xs, 0, Wd - 1)]
+    return out * ok[..., None] if img.ndim == 3 else out * ok
+
+
+# ---------------------------------------------------------------------------
+# Essential-matrix ego-motion (sfm2.getEgoMotion / getEgoMotion2 surface)
+# ---------------------------------------------------------------------------
+
+class EgoMotion(NamedTuple):
+    R: jnp.ndarray          # (3, 3) rotation prev->curr
+    T: jnp.ndarray          # (3,) unit translation
+    n_inliers: jnp.ndarray  # scalar int
+    n_found: jnp.ndarray    # scalar int
+
+
+def _eight_point(p1n, p2n):
+    """Normalized 8-point: p1n, p2n (8, 2) normalized coords -> E (3, 3)."""
+    x1, y1 = p1n[:, 0], p1n[:, 1]
+    x2, y2 = p2n[:, 0], p2n[:, 1]
+    A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
+                   jnp.ones_like(x1)], axis=-1)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    E = vt[-1].reshape(3, 3)
+    # project to essential manifold (rank 2, equal singular values)
+    u, s, vt2 = jnp.linalg.svd(E)
+    s_mean = (s[0] + s[1]) / 2
+    return u @ jnp.diag(jnp.asarray([s_mean, s_mean, 0.0])) @ vt2
+
+
+def _decompose_E(E):
+    """E -> 4 candidate (R, t)."""
+    u, _, vt = jnp.linalg.svd(E)
+    d = jnp.sign(jnp.linalg.det(u @ vt))
+    W = jnp.asarray([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    R1 = u @ W @ vt * d
+    R2 = u @ W.T @ vt * d
+    t = u[:, 2]
+    return jnp.stack([R1, R1, R2, R2]), jnp.stack([t, -t, t, -t])
+
+
+def _sampson(E, p1n, p2n):
+    ones = jnp.ones((p1n.shape[0], 1), p1n.dtype)
+    x1 = jnp.concatenate([p1n, ones], -1)
+    x2 = jnp.concatenate([p2n, ones], -1)
+    Ex1 = x1 @ E.T
+    Etx2 = x2 @ E
+    num = jnp.einsum("nc,nc->n", x2, Ex1) ** 2
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _cheirality_count(R, t, p1n, p2n):
+    """Count points with positive depth in both views (midpoint-free linear
+    triangulation of the z coordinates)."""
+    ones = jnp.ones((p1n.shape[0], 1), p1n.dtype)
+    x1 = jnp.concatenate([p1n, ones], -1)          # bearing in cam1
+    x2 = jnp.concatenate([p2n, ones], -1)          # bearing in cam2
+    # depth of point along x1 solving z2 * x2 = z1 * R x1 + t (two eqs)
+    Rx1 = x1 @ R.T
+    a = Rx1[:, :2] - Rx1[:, 2:3] * p2n             # (N, 2)
+    b = t[2] * p2n - t[:2]
+    z1 = jnp.einsum("nc,nc->n", a, b) / jnp.maximum(
+        jnp.einsum("nc,nc->n", a, a), 1e-12)
+    z2 = z1 * Rx1[:, 2] + t[2]
+    return ((z1 > 0) & (z2 > 0)).sum()
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def get_ego_motion_from_matches(pts1, pts2, valid, K, n_samples: int = 64,
+                                key=None, max_dist: float = 1e-3) -> EgoMotion:
+    """RANSAC essential-matrix fit on matched points (pixel coords).
+    pts1/pts2 (N, 2), valid (N,) mask; returns EgoMotion with R, unit T
+    (prev->curr), Sampson inlier count and found count."""
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    K = jnp.asarray(K, jnp.float32)
+    f = jnp.asarray([K[0, 0], K[1, 1]])
+    c = jnp.asarray([K[0, 2], K[1, 2]])
+    p1n = (pts1 - c) / f
+    p2n = (pts2 - c) / f
+    n = pts1.shape[0]
+    w = valid.astype(jnp.float32)
+    # sample indices biased to valid points: sample from valid via gumbel-max
+    gk = jax.random.gumbel(key, (n_samples, 8, n))
+    scores = gk + jnp.where(valid, 0.0, -1e9)[None, None, :]
+    idx = jnp.argmax(scores, axis=-1)
+
+    def fit(sample_idx):
+        E = _eight_point(p1n[sample_idx], p2n[sample_idx])
+        d = _sampson(E, p1n, p2n)
+        inl = ((d < max_dist) & valid).sum()
+        return E, inl
+
+    Es, inls = jax.vmap(fit)(idx)
+    best = jnp.argmax(inls)
+    E = Es[best]
+
+    Rs, ts = _decompose_E(E)
+    counts = jax.vmap(lambda R, t: _cheirality_count(R, t, p1n, p2n))(Rs, ts)
+    pick = jnp.argmax(counts)
+    return EgoMotion(Rs[pick], ts[pick], inls[best], valid.sum())
+
+
+def get_ego_motion(img1, img2, K, max_points: int = 400,
+                   quality: float = 0.001, key=None) -> EgoMotion:
+    """Full sfm2.getEgoMotion surface: detect corners in img1, LK-track to
+    img2, robust essential fit. Returns (R, T, inliers, found)."""
+    pts, pvalid = good_features_to_track(jnp.asarray(img1), max_points, quality)
+    pts2, status = track_lk(img1, img2, pts)
+    valid = pvalid & status
+    return get_ego_motion_from_matches(pts, pts2, valid, K, key=key)
+
+
+def epipole(K, T) -> jnp.ndarray:
+    """e2 = K T / T_3 (x, y) — /root/reference/radial/test_radial_opticalflow.lua:129-130."""
+    e = jnp.asarray(K) @ jnp.asarray(T)
+    return e[:2] / e[2]

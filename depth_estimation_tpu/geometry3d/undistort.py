@@ -1,0 +1,72 @@
+"""Lens undistortion — sfm2.undistortImage equivalent.
+
+The reference calls the external sfm2 package (OpenCV undistort) at every
+pipeline entry (/root/reference/depth_estimation_api.lua:139,
+groundtruth_opticalflow.lua:270-281). Standard inverse mapping: for each
+undistorted output pixel, apply the Brown 5-coefficient forward distortion
+model (k1, k2, p1, p2, k3) to its normalized coordinates, then bilinearly
+sample the distorted source image there.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..flow.celiu import bilinear_sample
+
+
+def distort_points(x: jnp.ndarray, y: jnp.ndarray, dist) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the forward Brown model to normalized coords."""
+    k1, k2, p1, p2, k3 = [jnp.float32(d) for d in dist]
+    r2 = x * x + y * y
+    radial = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return xd, yd
+
+
+def undistort_image(img: jnp.ndarray, K, dist) -> jnp.ndarray:
+    """img: (H, W, C); K: 3x3 intrinsics; dist: 5 coefficients. Out-of-range
+    samples are zero (OpenCV undistort default border)."""
+    K = jnp.asarray(K)
+    H, W = img.shape[0], img.shape[1]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    j = jnp.arange(W, dtype=jnp.float32)[None, :]
+    i = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xn = (j - cx) / fx * jnp.ones((H, 1), jnp.float32)
+    yn = (i - cy) / fy * jnp.ones((1, W), jnp.float32)
+    xd, yd = distort_points(xn, yn, dist)
+    xs = xd * fx + cx
+    ys = yd * fy + cy
+    out = bilinear_sample(img, xs, ys)
+    ok = (xs >= 0) & (xs <= W - 1) & (ys >= 0) & (ys <= H - 1)
+    return out * ok[..., None]
+
+
+def remove_ego_motion(img: jnp.ndarray, K, R) -> jnp.ndarray:
+    """Rotation compensation — sfm2.removeEgoMotion equivalent
+    (used at /root/reference/depth_estimation_api.lua:147,
+    groundtruth_opticalflow.lua:289): warp by the infinite-homography
+    H = K R K^-1 so the previous frame aligns with the current camera
+    orientation. Sampling: out(p) = img(H^-1... we follow the convention
+    out(x) = img(K R K^-1 x), matching a prev->current rotation R."""
+    K = jnp.asarray(K, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    Hm = K @ R @ jnp.linalg.inv(K)
+    H, W = img.shape[0], img.shape[1]
+    j = jnp.arange(W, dtype=jnp.float32)
+    i = jnp.arange(H, dtype=jnp.float32)
+    xx, yy = jnp.meshgrid(j, i)
+    ones = jnp.ones_like(xx)
+    p = jnp.stack([xx, yy, ones])                       # (3, H, W)
+    q = jnp.einsum("ab,bhw->ahw", Hm, p)
+    xs = q[0] / q[2]
+    ys = q[1] / q[2]
+    out = bilinear_sample(img, xs, ys)
+    ok = (xs >= 0) & (xs <= W - 1) & (ys >= 0) & (ys <= H - 1)
+    return out * ok[..., None]

@@ -1,0 +1,122 @@
+"""Geometry layer tests: lsq_trans analytic recovery (port of
+test_lsq_trans / test_motion_correction,
+/root/reference/motion_correction.lua:202-275), LK tracking on known shifts,
+undistortion identity, essential-matrix ego-motion on synthetic 3D scenes."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depth_estimation_tpu.geometry3d import calibration, egomotion, undistort
+
+
+def test_lsq_trans_recovers_translation_rotation():
+    """Synthetic pan/tilt/roll flow must be recovered exactly (least squares
+    on a noiseless linear model)."""
+    rng = np.random.RandomState(0)
+    n = 50
+    pts = rng.rand(n, 2).astype(np.float32) * 200
+    wc, hc = 100.0, 100.0
+    # ground-truth params: x = (pan, tilt, zoom, roll)
+    x_true = np.array([2.0, -1.0, 0.05, 0.02], np.float32)
+    pt = pts - [wc, hc]
+    f = (x_true[0] * np.array([-1.0, 0.0]) + x_true[1] * np.array([0.0, -1.0])
+         + x_true[2] * (-pt) + x_true[3] * np.stack([pt[:, 1], -pt[:, 0]], -1))
+    pts_out = pts + f
+    H, x = egomotion.lsq_trans(jnp.asarray(pts), jnp.asarray(pts_out), wc, hc)
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-4)
+
+
+def test_lsq_ransac_rejects_outliers():
+    rng = np.random.RandomState(1)
+    n = 80
+    pts = rng.rand(n, 2).astype(np.float32) * 200
+    wc = hc = 100.0
+    x_true = np.array([3.0, 1.0, 0.0, 0.01], np.float32)
+    pt = pts - [wc, hc]
+    f = (x_true[0] * np.array([-1.0, 0.0]) + x_true[1] * np.array([0.0, -1.0])
+         + x_true[2] * (-pt) + x_true[3] * np.stack([pt[:, 1], -pt[:, 0]], -1))
+    pts_out = pts + f
+    # corrupt 25% of matches
+    k = n // 4
+    pts_out[:k] += rng.rand(k, 2) * 50
+    H, inliers = egomotion.lsq_trans_ransac(
+        jnp.asarray(pts), jnp.asarray(pts_out), wc, hc)
+    assert int(inliers) >= n - k - 5
+
+
+def test_track_lk_known_shift():
+    rng = np.random.RandomState(2)
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(100, 120, 1).astype(np.float32)), 1.5, 4))
+    dy, dx = 3.0, -2.0
+    img1 = base[10:74, 10:90]
+    img2 = base[10 - int(dy):74 - int(dy), 10 - int(dx):90 - int(dx)]
+    pts, pvalid = egomotion.good_features_to_track(jnp.asarray(img1), 30,
+                                                   quality=0.01)
+    pts2, status = egomotion.track_lk(img1, img2, pts)
+    ok = np.asarray(pvalid & status)
+    d = np.asarray(pts2 - pts)[ok]
+    assert ok.sum() >= 10
+    err = np.abs(d - [dx, dy])
+    assert np.median(err[:, 0]) < 0.2, d[:5]
+    assert np.median(err[:, 1]) < 0.2, d[:5]
+
+
+def test_undistort_identity_when_no_distortion():
+    rng = np.random.RandomState(3)
+    img = rng.rand(48, 64, 3).astype(np.float32)
+    cal = calibration.RECTIFIED_GOPRO_SMALL
+    out = np.asarray(undistort.undistort_image(
+        jnp.asarray(img), cal.K, cal.distortion))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_remove_ego_motion_identity_rotation():
+    rng = np.random.RandomState(4)
+    img = rng.rand(40, 50, 1).astype(np.float32)
+    out = np.asarray(undistort.remove_ego_motion(
+        jnp.asarray(img), calibration.ARDRONE.K, np.eye(3, dtype=np.float32)))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def synthetic_scene(n, R, T, K, seed=0):
+    """Random 3D points in front of both cameras, projected to both views."""
+    rng = np.random.RandomState(seed)
+    X = rng.rand(n, 3).astype(np.float64)
+    X[:, :2] = (X[:, :2] - 0.5) * 4
+    X[:, 2] = X[:, 2] * 5 + 3
+    x1 = X @ K.T
+    p1 = x1[:, :2] / x1[:, 2:3]
+    X2 = X @ np.asarray(R).T + np.asarray(T)
+    x2 = X2 @ K.T
+    p2 = x2[:, :2] / x2[:, 2:3]
+    return p1.astype(np.float32), p2.astype(np.float32)
+
+
+def test_essential_egomotion_synthetic():
+    K = np.array([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]], np.float32)
+    angle = 0.03
+    R = np.array([[math.cos(angle), 0, math.sin(angle)],
+                  [0, 1, 0],
+                  [-math.sin(angle), 0, math.cos(angle)]], np.float32)
+    T = np.array([0.2, 0.05, 1.0], np.float32)
+    T_unit = T / np.linalg.norm(T)
+    p1, p2 = synthetic_scene(120, R, T, K)
+    em = egomotion.get_ego_motion_from_matches(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.ones(len(p1), bool), K)
+    assert int(em.n_inliers) > 100, int(em.n_inliers)
+    # rotation within a fraction of a degree
+    Rd = np.asarray(em.R) @ R.T
+    ang_err = math.acos(min(1.0, (np.trace(Rd) - 1) / 2))
+    assert ang_err < 0.01, ang_err
+    # translation direction up to sign
+    t = np.asarray(em.T)
+    assert min(np.linalg.norm(t - T_unit), np.linalg.norm(t + T_unit)) < 0.05
+
+    # epipole: e2 = K T / T_3
+    e = np.asarray(egomotion.epipole(K, T))
+    np.testing.assert_allclose(e, [160 + 300 * 0.2, 120 + 300 * 0.05], rtol=1e-5)

@@ -1,0 +1,91 @@
+"""Streaming API + post-processing tests: the nextFrameDepth contract
+(/root/reference/depth_estimation_api.lua:134-198 and
+tests/test_depth_estimation_api.lua) on a synthetic translating sequence,
+plus the masked mode/median window filters."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depth_estimation_tpu.api import DepthEstimator
+from depth_estimation_tpu.geometry import Geometry
+from depth_estimation_tpu.geometry3d import calibration
+from depth_estimation_tpu.models.filters import identity_filter_params
+from depth_estimation_tpu.ops import postprocess
+
+
+def small_cal(h, w):
+    return dataclasses.replace(
+        calibration.RECTIFIED_GOPRO_SMALL, wImg=w, hImg=h,
+        fx=100.0, fy=100.0, cx=w / 2, cy=h / 2)
+
+
+def test_next_frame_depth_recovers_translation():
+    g = Geometry(hImg=64, wImg=80, layers=((3, 6, 6, 6 * 6 * 3),),
+                 maxh=8, maxw=8)
+    cal = small_cal(64, 80)
+    params = identity_filter_params(g)
+    est = DepthEstimator(g, params, cal, head="max")
+
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    rng = np.random.RandomState(0)
+    big = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(90, 110, 3).astype(np.float32)), 1.0, 3))
+    dx = 2
+    f0 = big[10:74, 10:90]
+    f1 = big[10:74, 10 + dx:90 + dx]   # camera pans right: flow = -dx? frame1
+    est.reset(f0)
+    im_scaled, xflow, mask = est.next_frame_depth(f1)
+    assert im_scaled.shape == (64, 80, 3)
+    assert xflow.shape == (64, 80)
+    assert mask.shape == (64, 80)
+    sel = mask > 0.5
+    assert sel.sum() > 200
+    med = np.median(xflow[sel])
+    # pure translation: ego-motion R ~ I can absorb some flow into rotation
+    # compensation; require the dominant surviving flow to be consistent
+    assert abs(abs(med) - dx) <= 2.1, med
+
+
+def test_bad_frame_rejected():
+    g = Geometry(hImg=48, wImg=64, layers=((3, 5, 5, 75),), maxh=6, maxw=6)
+    cal = small_cal(48, 64)
+    params = identity_filter_params(g)
+    est = DepthEstimator(g, params, cal)
+    rng = np.random.RandomState(1)
+    f0 = rng.rand(48, 64, 3).astype(np.float32)
+    f1 = rng.rand(48, 64, 3).astype(np.float32)   # unrelated noise frame
+    est.reset(f0)
+    im_scaled, xflow, mask = est.next_frame_depth(f1)
+    # either rejected (zeros) or heavily masked; the reference zeroes output
+    if mask.max() == 0:
+        assert np.abs(xflow).max() == 0
+    t = est.timers.means()
+    assert "egomotion" in t and "frame" in t
+
+
+def test_mode_filter_majority():
+    flow = np.zeros((2, 12, 12), np.float32)
+    flow[0, :, :] = 1.0
+    flow[1, :, :] = 2.0
+    flow[0, 5, 5] = 7.0   # outlier
+    mask = np.ones((12, 12), np.float32)
+    out = np.asarray(postprocess.mode_filter(jnp.asarray(flow),
+                                             jnp.asarray(mask), 4))
+    # interior takes the window mode (1, 2); outlier removed
+    assert out[0, 6, 6] == 1.0 and out[1, 6, 6] == 2.0
+    assert out[0, 5, 5] == 1.0
+
+
+def test_median_filter_masked():
+    flow = np.zeros((2, 10, 10), np.float32)
+    flow[0] = 3.0
+    mask = np.ones((10, 10), np.float32)
+    flow[0, 4, 4] = 100.0   # outlier
+    mask[4, 4] = 0          # ... but masked out
+    out = np.asarray(postprocess.median_filter(jnp.asarray(flow),
+                                               jnp.asarray(mask), 3))
+    inner = out[0, 1:-2, 1:-2]
+    assert (inner == 3.0).all()

@@ -1,0 +1,350 @@
+"""Dataset pipelines: SFM-rectified loaders, lazy dataset objects, radial
+(polar) per-pair transforms.
+
+Rebuilds three generations of the reference's data plumbing:
+  * the SFM-rectified pair loader (loadRectifiedImageOpticalFlow2,
+    /root/reference/groundtruth_opticalflow.lua:253-348): undistort ->
+    ego-motion -> bad-frame rejection -> rotation-compensate the previous
+    frame -> cached exhaustive GT flow on the (warped prev, current) pair,
+    quantized ``floor(flow + 0.5)``;
+  * the v2 OO dataset with lazy caches and patch getters
+    (/root/reference/version2/data.lua:11-213);
+  * the radial/polar per-pair transform (load_dataset,
+    /root/reference/radial/radial_opticalflow_data.lua:182-288): ego-motion
+    -> epipole e2 = K T / T3 scaled to network resolution -> rotation
+    removal -> border-zeroed warp mask -> epipole-centered polar warps with
+    angular kernel padding -> GT projected onto the radial direction
+    (project_groundtruth :113-129) and saturated (:131-136).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry
+from ..geometry3d import egomotion as ego
+from ..geometry3d import polar as polar_ops
+from ..geometry3d import undistort as undist
+from ..geometry3d.calibration import Calibration
+from . import groundtruth as gt_mod
+from .images import ImageLoader, load_image, scale
+
+
+# ---------------------------------------------------------------------------
+# cartesian SFM-rectified pairs
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RectifiedPair:
+    prev_warped: np.ndarray      # rotation-compensated previous frame
+    image: np.ndarray            # current frame
+    mask: np.ndarray             # warp validity
+    flow: Optional[np.ndarray]   # (2, H, W) quantized GT flow
+    conf: Optional[np.ndarray]
+    good: bool                   # inlier-ratio gate
+
+
+def load_rectified_pair(
+    geom: Geometry, cal: Calibration, prev: np.ndarray, img: np.ndarray,
+    cache_root: Optional[str] = None, name: str = "",
+    compute_gt: bool = True,
+) -> RectifiedPair:
+    prev_u = undist.undistort_image(jnp.asarray(prev), cal.K, cal.distortion)
+    img_u = undist.undistort_image(jnp.asarray(img), cal.K, cal.distortion)
+    em = ego.get_ego_motion(prev_u, img_u, cal.K,
+                            max_points=cal.sfm.max_points,
+                            quality=cal.sfm.points_quality)
+    ratio = float(em.n_inliers) / max(float(em.n_found), 1.0)
+    h, w = geom.hImg, geom.wImg
+    prev_s = scale(prev_u, h, w)
+    img_s = scale(img_u, h, w)
+    if ratio < cal.bad_image_threshold:
+        z = np.zeros((h, w), np.float32)
+        return RectifiedPair(np.asarray(prev_s), np.asarray(img_s), z,
+                             None, None, False)
+    Ks = cal.K.copy()
+    Ks[0] *= w / cal.wImg
+    Ks[1] *= h / cal.hImg
+    warped = undist.remove_ego_motion(prev_s, Ks, em.R)
+    ones = jnp.ones((h, w, 1), jnp.float32)
+    mask = np.asarray(undist.remove_ego_motion(ones, Ks, em.R)[..., 0] > 0.5,
+                      np.float32)
+    flow = conf = None
+    if compute_gt:
+        if cache_root is not None and name:
+            fy, fx, conf = gt_mod.cached_exhaustive_flow(
+                cache_root, geom, 1, name, warped, img_s)
+        else:
+            fy, fx, conf = gt_mod.exhaustive_flow(geom, warped, img_s)
+        # the reference quantizes GT: (flow+0.5):floor()
+        # (groundtruth_opticalflow.lua:345)
+        flow = np.floor(np.stack([fy, fx]) + 0.5).astype(np.float32)
+    return RectifiedPair(np.asarray(warped), np.asarray(img_s), mask,
+                         flow, conf, True)
+
+
+def load_data_optical_flow(
+    geom: Geometry, cal: Calibration, directory: str, n_images: int,
+    first: int = 0, delta: int = 1, cache_root: Optional[str] = None,
+) -> Dict[str, list]:
+    """Dataset assembly (loadDataOpticalFlowCCLiu,
+    /root/reference/groundtruth_opticalflow.lua:350-413): consecutive frames
+    from ``directory/images/``, SFM-rectified, with GT flow per pair."""
+    loader = ImageLoader(directory, cal.hImg, cal.wImg, first)
+    raw = {"images": [], "warped_images": [], "masks": [], "flow": []}
+    prev = loader.get_next_frame()
+    for k in range(n_images - 1):
+        for _ in range(delta - 1):
+            loader.get_next_frame()
+        img = loader.get_next_frame()
+        if img is None:
+            break
+        pair = load_rectified_pair(geom, cal, prev, img,
+                                   cache_root, f"{first + k * delta:09d}")
+        raw["images"].append(pair.image)
+        raw["warped_images"].append(pair.prev_warped)
+        raw["masks"].append(pair.mask)
+        raw["flow"].append(pair.flow if pair.good else None)
+        prev = img
+    # trailing frame for the last pair's second image
+    raw["images"].append(prev if isinstance(prev, np.ndarray) else np.asarray(prev))
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# v2-style lazy dataset object
+# ---------------------------------------------------------------------------
+
+class FlowDataset:
+    """Lazy per-frame caches over an image directory (version2/data.lua
+    new_dataset): full/scaled images, rectified previous frames, masks, GT."""
+
+    def __init__(self, geom: Geometry, cal: Calibration, directory: str,
+                 delta: int = 1, cache_root: Optional[str] = None):
+        self.geom = geom
+        self.cal = cal
+        self.dir = directory
+        self.delta = delta
+        self.cache_root = cache_root
+        imgdir = os.path.join(directory, "images")
+        self.names = sorted(
+            f for f in os.listdir(imgdir) if f.endswith((".jpg", ".png")))
+        self._full: Dict[int, np.ndarray] = {}
+        self._pairs: Dict[int, RectifiedPair] = {}
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def get_full_image(self, i: int) -> np.ndarray:
+        if i not in self._full:
+            img = load_image(os.path.join(self.dir, "images", self.names[i]))
+            if img.shape[:2] != (self.cal.hImg, self.cal.wImg):
+                img = np.asarray(scale(img, self.cal.hImg, self.cal.wImg))
+            self._full[i] = img
+        return self._full[i]
+
+    def get_image(self, i: int) -> np.ndarray:
+        return self._pair(i).image
+
+    def get_prev_image(self, i: int) -> np.ndarray:
+        """Rectified (rotation-compensated) previous frame
+        (version2/data.lua:85-104)."""
+        return self._pair(i).prev_warped
+
+    def get_mask(self, i: int) -> np.ndarray:
+        return self._pair(i).mask
+
+    def get_gt(self, i: int) -> Optional[np.ndarray]:
+        return self._pair(i).flow
+
+    def _pair(self, i: int) -> RectifiedPair:
+        assert i >= self.delta, "no previous frame"
+        if i not in self._pairs:
+            self._pairs[i] = load_rectified_pair(
+                self.geom, self.cal,
+                self.get_full_image(i - self.delta), self.get_full_image(i),
+                self.cache_root, self.names[i].split(".")[0])
+        return self._pairs[i]
+
+    def get_patches(self, n: int, rng: np.random.RandomState,
+                    learning=None):
+        """Patch sampler with mask/flow-window rejection
+        (version2/data.lua:169-210) — delegates to training.sample_patches."""
+        from ..geometry import Learning
+        from ..training.train import sample_patches
+        learning = learning or Learning()
+        # interleave (warped_prev, image) pairs; flow valid only from a
+        # warped frame to its own current frame
+        images, flows, masks = [], [], []
+        for i in range(self.delta, len(self)):
+            p = self._pair(i)
+            if not p.good:
+                continue
+            images.extend([p.prev_warped, p.image])
+            flows.extend([p.flow, None])
+            masks.extend([p.mask, None])
+        assert images, "no good pairs in dataset"
+        flows = flows[:-1]
+        masks = masks[:-1]
+        return sample_patches(self.geom, learning, images, flows, masks,
+                              n, rng)
+
+
+# ---------------------------------------------------------------------------
+# radial / polar pipeline
+# ---------------------------------------------------------------------------
+
+def flow_norm(flow: np.ndarray) -> np.ndarray:
+    return np.sqrt(flow[0] ** 2 + flow[1] ** 2) + 1e-12
+
+
+def project_groundtruth(flow: np.ndarray, gds: np.ndarray, e2) -> Tuple[np.ndarray, np.ndarray]:
+    """Project cartesian GT flow onto the radial (epipolar) direction
+    (project_groundtruth, /root/reference/radial/radial_opticalflow_data.lua:113-129).
+    Returns (proj (H, W) int-valued, gds updated in the same & >= 0 sense)."""
+    H, W = flow.shape[1], flow.shape[2]
+    ys = np.arange(H, dtype=np.float32)[:, None] - float(e2[1])
+    xs = np.arange(W, dtype=np.float32)[None, :] - float(e2[0])
+    radial = np.stack([np.broadcast_to(ys, (H, W)),
+                       np.broadcast_to(xs, (H, W))])
+    n = flow_norm(radial)
+    radial = radial / n
+    projf = flow[0] * radial[0] + flow[1] * radial[1]
+    proj = np.floor(projf + 0.5)
+    gds = gds * (projf >= 0)
+    return proj.astype(np.float32), gds.astype(np.float32)
+
+
+def saturate_groundtruth(flow: np.ndarray, gds: np.ndarray, maxflow: float):
+    """Clamp projected GT to maxflow and invalidate clamped pixels
+    (radial_opticalflow_data.lua:131-136)."""
+    sat = (flow <= maxflow).astype(np.float32)
+    flow = flow * sat + (1 - sat) * maxflow
+    gds = gds * sat
+    return flow, gds
+
+
+@dataclasses.dataclass
+class PolarPair:
+    polar_image: np.ndarray
+    polar_prev_image: np.ndarray
+    polar_mask: np.ndarray
+    e2: np.ndarray
+    good: bool
+    polar_gt: Optional[np.ndarray] = None
+    polar_gt_mask: Optional[np.ndarray] = None
+
+
+def load_polar_pair(
+    cal: Calibration, prev: np.ndarray, img: np.ndarray,
+    h_img: int, w_img: int, h_input: int, w_input: int, w_kernel: int,
+    geom_gt: Optional[Geometry] = None, max_flow: Optional[float] = None,
+) -> PolarPair:
+    """One step of the radial load_dataset loop
+    (radial_opticalflow_data.lua:182-288)."""
+    em = ego.get_ego_motion(jnp.asarray(prev), jnp.asarray(img), cal.K,
+                            max_points=cal.sfm.max_points,
+                            quality=cal.sfm.points_quality)
+    ratio = float(em.n_inliers) / max(float(em.n_found), 1.0)
+    e2_full = np.asarray(ego.epipole(cal.K, em.T))
+    e2 = e2_full * (w_img / cal.wImg)
+    if ratio < cal.bad_image_threshold:
+        z = np.zeros((h_input, w_input), np.float32)
+        return PolarPair(z, z, z, e2, False)
+
+    img_s = scale(jnp.asarray(img), h_img, w_img)
+    prev_s = scale(jnp.asarray(prev), h_img, w_img)
+    Ks = cal.K.copy()
+    Ks[0] *= w_img / cal.wImg
+    Ks[1] *= h_img / cal.hImg
+    prev_w = undist.remove_ego_motion(prev_s, Ks, em.R)
+    ones = jnp.ones((h_img, w_img, 1), jnp.float32)
+    mask = np.asarray(undist.remove_ego_motion(ones, Ks, em.R)[..., 0] > 0.5,
+                      np.float32)
+    # zero the outermost border (radial_opticalflow_data.lua:233-239)
+    mask[0, :] = 0
+    mask[-1, :] = 0
+    mask[:, 0] = 0
+    mask[:, -1] = 0
+
+    rmax = polar_ops.get_rmax(h_img, w_img, e2)
+    grid = polar_ops.get_c2p_grid(
+        w_img, h_img, w_input, h_input, float(e2[0]), float(e2[1]),
+        lpadding=(w_kernel - 1) // 2, rpadding=(w_kernel - 1) - (w_kernel - 1) // 2,
+        rmax=rmax)
+    p_img = np.asarray(polar_ops.warp_grid(img_s, grid))
+    p_prev = np.asarray(polar_ops.warp_grid(prev_w, grid))
+    p_mask = np.asarray(
+        polar_ops.warp_grid(jnp.asarray(mask)[..., None], grid)[..., 0] > 0,
+        np.float32)
+
+    p_gt = p_gt_mask = None
+    if geom_gt is not None:
+        fy, fx, conf = gt_mod.exhaustive_flow(geom_gt, np.asarray(prev_w),
+                                              np.asarray(img_s))
+        flow = np.stack([fy, fx])
+        gds = (conf > 0).astype(np.float32) * mask
+        proj, gds = project_groundtruth(flow, gds, e2)
+        if max_flow is not None:
+            proj, gds = saturate_groundtruth(proj, gds, max_flow)
+        proj = proj * gds
+        both = np.stack([proj, gds])[:, None]  # (2, 1, H, W) channel dim
+        warped = np.asarray(polar_ops.warp_grid(
+            jnp.asarray(np.moveaxis(both[:, 0], 0, -1)), grid))
+        p_gt = warped[..., 0]
+        p_gt_mask = (warped[..., 1] > 0.99).astype(np.float32)
+    return PolarPair(p_img, p_prev, p_mask, e2, True, p_gt, p_gt_mask)
+
+
+def smooth_epipole(prev_e2: Optional[np.ndarray], e2: np.ndarray,
+                   h_img: int, w_img: int, alpha: float = 0.5) -> np.ndarray:
+    """EMA epipole smoothing with out-of-frame fallback
+    (/root/reference/radial/test_radial_opticalflow.lua:173-181)."""
+    if prev_e2 is None:
+        return e2
+    if not (0 <= e2[0] < w_img and 0 <= e2[1] < h_img):
+        return prev_e2
+    return alpha * e2 + (1 - alpha) * prev_e2
+
+
+def generate_polar_training_patches(
+    pair: PolarPair, h_patch: int, w_patch: int, h_win: int,
+    n: int, rng: np.random.RandomState,
+):
+    """Polar patch sampler with mask + GT-mask rejection
+    (generate_training_patches, radial_opticalflow_data.lua:306-343).
+    Returns (prev_patches, curr_patches, targets) with targets in [0, h_win)."""
+    H, W = pair.polar_image.shape[:2]
+    p1, p2, ts = [], [], []
+    tries = 0
+    while len(ts) < n and tries < n * 300:
+        tries += 1
+        y = rng.randint(0, H - h_patch - h_win)
+        x = rng.randint(0, W - w_patch)
+        yc, xc = y + h_patch // 2, x + w_patch // 2
+        if pair.polar_mask[min(yc, H - 1), min(xc, W - 1)] < 0.5:
+            continue
+        if pair.polar_gt_mask is not None:
+            gx = min(xc, pair.polar_gt_mask.shape[1] - 1)
+            gy = min(yc, pair.polar_gt_mask.shape[0] - 1)
+            if pair.polar_gt_mask[gy, gx] < 0.5:
+                continue
+            t = pair.polar_gt[gy, gx]
+        else:
+            t = 0.0
+        if not (0 <= t < h_win):
+            continue
+        p1.append(pair.polar_prev_image[y:y + h_patch + h_win - 1,
+                                        x:x + w_patch])
+        p2.append(pair.polar_image[y:y + h_patch + h_win - 1, x:x + w_patch])
+        ts.append(int(t))
+    if not ts:
+        return None
+    return (np.stack(p1).astype(np.float32), np.stack(p2).astype(np.float32),
+            np.asarray(ts, np.int32))

@@ -115,6 +115,39 @@ def _cache_path(root: str, geom: Geometry, delta: int, name: str) -> str:
     )
 
 
+def liu_flow(
+    img1: jnp.ndarray, img2: jnp.ndarray,
+    alpha: float = 0.005, ratio: float = 0.75, min_width: int = 30,
+    n_outer: int = 5, n_inner: int = 1, n_sor: int = 40,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The 'liu' GT alternative: Ce Liu variational flow with the reference
+    trainer's parameters (/root/reference/groundtruth_opticalflow_celiu.lua:9-14).
+    Returns (flow_y, flow_x)."""
+    from ..flow.celiu import coarse2fine_flow
+    vx, vy, _ = coarse2fine_flow(img1, img2, alpha=alpha, ratio=ratio,
+                                 min_width=min_width, n_outer=n_outer,
+                                 n_inner=n_inner, n_sor=n_sor)
+    return np.asarray(vy), np.asarray(vx)
+
+
+def cached_liu_flow(root: str, geom: Geometry, delta: int, name: str,
+                    img1, img2, **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """Disk-cached liu GT (the reference caches PNG-encoded (v+128)/255,
+    groundtruth_opticalflow_celiu.lua:63-67; we cache float npz under
+    ``flow_liu/...`` with the same parameter-encoded layout)."""
+    path = os.path.join(
+        root, "flow_liu", f"{geom.wImg}x{geom.hImg}", str(delta), name + ".npz"
+    )
+    if os.path.exists(path):
+        z = np.load(path)
+        if z["fy"].shape == (geom.hImg, geom.wImg):
+            return z["fy"], z["fx"]
+    fy, fx = liu_flow(jnp.asarray(img1), jnp.asarray(img2), **kw)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, fy=fy, fx=fx)
+    return fy, fx
+
+
 def cached_exhaustive_flow(
     root: str, geom: Geometry, delta: int, name: str,
     img1: jnp.ndarray, img2: jnp.ndarray,

@@ -1,0 +1,161 @@
+"""Dataset pipeline + version2 tests: SFM-rectified pair loading on a
+synthetic rotating/translating sequence, the v2 lazy dataset object over a
+real file tree, radial GT projection math, and the v2 network with
+contrastive normalization."""
+
+import dataclasses
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depth_estimation_tpu.data import datasets, groundtruth
+from depth_estimation_tpu.geometry import Geometry
+from depth_estimation_tpu.geometry3d import calibration
+from depth_estimation_tpu.models.version2 import V2Network, V2Params
+from depth_estimation_tpu.ops.normalization import (
+    gaussian1d, spatial_contrastive_normalization)
+
+
+def small_cal(h, w):
+    return dataclasses.replace(
+        calibration.RECTIFIED_GOPRO_SMALL, wImg=w, hImg=h,
+        fx=120.0, fy=120.0, cx=w / 2, cy=h / 2)
+
+
+def make_sequence(tmp_path, n=4, h=64, w=80, dx=2, seed=0):
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    rng = np.random.RandomState(seed)
+    big = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(h + 30, w + 30, 3).astype(np.float32)), 1.0, 3))
+    d = tmp_path / "seq" / "images"
+    os.makedirs(d)
+    from PIL import Image
+    for i in range(n):
+        im = big[10:10 + h, 10 + i * dx:10 + w + i * dx]
+        Image.fromarray((im * 255).astype(np.uint8)).save(d / f"{i:09d}.png")
+    return str(tmp_path / "seq")
+
+
+def test_project_groundtruth_radial():
+    H, W = 40, 50
+    e2 = (25.0, 20.0)
+    # purely radial outward flow of magnitude 3 everywhere
+    ys = np.arange(H, dtype=np.float32)[:, None] - e2[1]
+    xs = np.arange(W, dtype=np.float32)[None, :] - e2[0]
+    n = np.sqrt(np.broadcast_to(ys, (H, W)) ** 2
+                + np.broadcast_to(xs, (H, W)) ** 2) + 1e-9
+    flow = np.stack([3 * ys / n * np.ones((1, W)), 3 * xs / n * np.ones((H, 1))])
+    flow = np.stack([3 * np.broadcast_to(ys, (H, W)) / n,
+                     3 * np.broadcast_to(xs, (H, W)) / n])
+    gds = np.ones((H, W), np.float32)
+    proj, gds2 = datasets.project_groundtruth(flow, gds, e2)
+    ok = np.ones((H, W), bool)
+    ok[int(e2[1]), int(e2[0])] = False   # undefined at the epipole itself
+    assert (proj[ok] == 3).all()
+    assert gds2[ok].all()
+    # inward flow is rejected (projection < 0)
+    proj2, gds3 = datasets.project_groundtruth(-flow, gds, e2)
+    assert not gds3[ok].any()
+
+
+def test_saturate_groundtruth():
+    f = np.asarray([1.0, 5.0, 12.0], np.float32)
+    g = np.ones(3, np.float32)
+    f2, g2 = datasets.saturate_groundtruth(f, g, 10.0)
+    np.testing.assert_array_equal(f2, [1, 5, 10])
+    np.testing.assert_array_equal(g2, [1, 1, 0])
+
+
+def test_smooth_epipole():
+    e = datasets.smooth_epipole(None, np.array([10.0, 10.0]), 100, 100)
+    np.testing.assert_array_equal(e, [10, 10])
+    e2 = datasets.smooth_epipole(np.array([10.0, 10.0]),
+                                 np.array([20.0, 30.0]), 100, 100)
+    np.testing.assert_array_equal(e2, [15, 20])
+    # out of frame falls back
+    e3 = datasets.smooth_epipole(np.array([10.0, 10.0]),
+                                 np.array([500.0, 0.0]), 100, 100)
+    np.testing.assert_array_equal(e3, [10, 10])
+
+
+def test_flow_dataset_lazy(tmp_path):
+    g = Geometry(hImg=64, wImg=80, layers=((3, 5, 5, 8),),
+                 maxh=6, maxw=6, maxhGT=6, maxwGT=6,
+                 hKernelGT=5, wKernelGT=5)
+    cal = small_cal(64, 80)
+    root = make_sequence(tmp_path)
+    ds = datasets.FlowDataset(g, cal, root, cache_root=str(tmp_path / "cache"))
+    assert len(ds) == 4
+    img = ds.get_image(1)
+    assert img.shape == (64, 80, 3)
+    prev = ds.get_prev_image(1)
+    assert prev.shape == (64, 80, 3)
+    gt = ds.get_gt(1)
+    assert gt is not None and gt.shape == (2, 64, 80)
+    # camera pans right by 2 px/frame: after rotation compensation the
+    # remaining GT x-flow should be concentrated near a constant
+    mask = ds.get_mask(1)
+    sel = (mask > 0.5) & (np.abs(gt[1]) > 0)
+    # lazy caches: second access is the same object
+    assert ds.get_image(1) is img
+    # patch sampling end-to-end
+    patches = ds.get_patches(8, np.random.RandomState(0))
+    assert len(patches) == 8
+
+
+def test_gaussian1d_matches_torch_shape():
+    g = gaussian1d(17)
+    assert g.shape == (17,)
+    assert abs(g[8] - 1.0) < 1e-6       # amplitude 1 at center
+    assert g[0] < g[8]
+
+
+def test_contrastive_normalization_properties():
+    rng = np.random.RandomState(0)
+    img = rng.rand(40, 48, 3).astype(np.float32) * 3 + 2
+    out = np.asarray(spatial_contrastive_normalization(jnp.asarray(img), 9))
+    assert out.shape == img.shape
+    # local mean removed: interior mean near zero
+    assert abs(out[10:-10, 10:-10].mean()) < 0.2
+    # scale-invariance-ish: doubling input contrast barely changes output
+    out2 = np.asarray(spatial_contrastive_normalization(
+        jnp.asarray(img * 2), 9))
+    np.testing.assert_allclose(out[10:-10, 10:-10], out2[10:-10, 10:-10],
+                               atol=0.2)
+
+
+def test_v2_network_forward_and_shift():
+    datap = V2Params(wImg=60, hImg=48, normalization_k=5,
+                     layers=((3, 5, 5, 8),), hWin=5, wWin=5)
+    net = V2Network(datap)
+    params = net.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    img2 = rng.rand(48, 60, 3).astype(np.float32)
+    img1 = np.roll(img2, -1, axis=0)   # dy = +1
+    logp = net.log_scores(params, jnp.asarray(img1), jnp.asarray(img2))
+    D = datap.hWin * datap.wWin
+    assert logp.shape[-1] == D
+    from depth_estimation_tpu import codecs
+    g = net.geometry
+    idx = np.asarray(jnp.argmax(logp, axis=-1))
+    dy, dx = codecs.decode(g, idx)
+    inner = np.asarray(dy)[8:-8, 8:-8]
+    assert (inner == 1).mean() > 0.9, np.unique(inner, return_counts=True)
+
+
+def test_liu_gt_cache(tmp_path):
+    g = Geometry(hImg=40, wImg=48)
+    rng = np.random.RandomState(2)
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    im = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(40, 48, 1).astype(np.float32)), 1.5, 4))
+    fy, fx = groundtruth.cached_liu_flow(str(tmp_path), g, 1, "f0", im, im,
+                                         min_width=20)
+    assert np.abs(fy).max() < 0.05
+    fy2, fx2 = groundtruth.cached_liu_flow(str(tmp_path), g, 1, "f0",
+                                           im + 1, im, min_width=20)
+    np.testing.assert_array_equal(fy, fy2)   # cache hit

@@ -1,0 +1,243 @@
+"""Small tools: rectification batch, model download, streaming driver,
+offline video pipeline, microbenchmark.
+
+Rebuilds the reference's tooling scripts:
+  * rectify: precompute undistorted + ego-motion-rectified frames for a
+    dataset (rectify_groundtruth_for_celiu.lua:1-73);
+  * download: list/fetch models from a remote host over ssh/scp
+    (download_model.lua:4-226, non-interactive variant);
+  * stream: prefiltered streaming loop with running per-stage timing
+    (depth_estimation_opticalflow.lua:59-158);
+  * video: full offline pipeline frames -> flow -> depth -> HSL panels ->
+    mp4 (test_opticalflow.lua:36-394);
+  * time-matching: the matcher/filter/decode microbenchmark
+    (tests/time_matching.lua:20-48).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_rectify(args) -> int:
+    from ..data import images as img_mod
+    from ..data.datasets import load_rectified_pair
+    from ..geometry import Geometry
+    from ..geometry3d import calibration as calmod
+    from ..utils.viz import save_image
+
+    cal = calmod.PRESETS[args.calibration]
+    g = Geometry(hImg=cal.hImg, wImg=cal.wImg)
+    loader = img_mod.ImageLoader(args.directory, cal.hImg, cal.wImg,
+                                 args.first)
+    und_dir = os.path.join(args.directory, "undistorted_images")
+    rect_dir = os.path.join(args.directory, "rectified_images")
+    os.makedirs(und_dir, exist_ok=True)
+    os.makedirs(rect_dir, exist_ok=True)
+    prev = loader.get_next_frame()
+    k = args.first
+    while True:
+        img = loader.get_next_frame()
+        if img is None or (args.num and k - args.first >= args.num):
+            break
+        pair = load_rectified_pair(g, cal, prev, img, compute_gt=False)
+        save_image(os.path.join(und_dir, f"{k:09d}.png"),
+                   pair.image.transpose(2, 0, 1))
+        save_image(os.path.join(rect_dir, f"{k:09d}.png"),
+                   pair.prev_warped.transpose(2, 0, 1))
+        prev = img
+        k += 1
+    print(f"rectified {k - args.first} pairs")
+    return 0
+
+
+def cmd_download(args) -> int:
+    """ssh/scp model fetch (gated on ssh availability)."""
+    try:
+        out = subprocess.run(
+            ["ssh", args.host, f"ls -1 {args.remote_dir}"],
+            capture_output=True, text=True, timeout=30, check=True)
+    except (FileNotFoundError, subprocess.SubprocessError) as e:
+        print(f"ssh unavailable: {e}", file=sys.stderr)
+        return 1
+    models = [m for m in out.stdout.splitlines() if m.strip()]
+    if args.filter:
+        models = [m for m in models if args.filter in m]
+    if not models:
+        print("no models found")
+        return 1
+    target = models[-1] if args.latest else models[0]
+    print(f"fetching {target}")
+    subprocess.run(["scp", "-r", f"{args.host}:{args.remote_dir}/{target}",
+                    args.output_dir], check=True)
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Streaming frame-pair loop with per-stage timing."""
+    from ..api import DepthEstimator
+    from ..data import images as img_mod
+    from ..geometry3d import calibration as calmod
+    from ..models import io as model_io
+
+    geom, lrn, params, _ = model_io.load_model(args.model)
+    cal = calmod.PRESETS[args.calibration]
+    est = DepthEstimator(geom, params, cal, head=args.head,
+                         sync_timers=True)
+    loader = img_mod.ImageLoader(args.directory, cal.hImg, cal.wImg,
+                                 args.first)
+    first = loader.get_next_frame()
+    est.reset(first)
+    n = 0
+    t0 = time.perf_counter()
+    while True:
+        frame = loader.get_next_frame()
+        if frame is None or (args.num and n >= args.num):
+            break
+        im, xflow, mask = est.next_frame_depth(frame)
+        n += 1
+        print(f"frame {n}: {est.timers.report()}  "
+              f"FPS: {n / (time.perf_counter() - t0):.2f}")
+    return 0
+
+
+def cmd_video(args) -> int:
+    """Offline pipeline: frames -> flow+depth panels -> mp4."""
+    from ..api import DepthEstimator
+    from ..data import images as img_mod
+    from ..geometry3d import calibration as calmod
+    from ..geometry3d import polar as polar_ops
+    from ..models import io as model_io
+    from ..ops import postprocess
+    from ..utils.viz import export_video, flow2hsv, save_image
+    import jax.numpy as jnp
+
+    geom, lrn, params, _ = model_io.load_model(args.model)
+    cal = calmod.PRESETS[args.calibration]
+    est = DepthEstimator(geom, params, cal, head="max")
+    loader = img_mod.ImageLoader(args.directory, cal.hImg, cal.wImg,
+                                 args.first)
+    os.makedirs(args.output_dir, exist_ok=True)
+    first = loader.get_next_frame()
+    est.reset(first)
+    k = 0
+    while True:
+        frame = loader.get_next_frame()
+        if frame is None or (args.num and k >= args.num):
+            break
+        im, xflow, mask = est.next_frame_depth(frame)
+        flow = np.stack([np.zeros_like(xflow), xflow])
+        flow_pp = np.asarray(postprocess.post_process_image(
+            jnp.asarray(flow), jnp.asarray(mask), args.post_win, "med"))
+        hsv = flow2hsv(geom, flow_pp)
+        # x-flow depth (ardrone computeDepthMapFromFlow rule)
+        W = xflow.shape[1]
+        cx = W / 2.0
+        j = np.arange(W)[None, :]
+        d = np.where(np.abs(flow_pp[1]) < 1.1, 100.0,
+                     np.abs(j - cx) / np.maximum(np.abs(flow_pp[1]), 0.1))
+        depth_rgb = np.asarray(polar_ops.depth2color(
+            jnp.asarray(np.clip(d / 100.0, 0, 1).astype(np.float32)),
+            jnp.asarray(mask)))
+        panel = np.concatenate([im.transpose(2, 0, 1), hsv, depth_rgb], axis=2)
+        save_image(os.path.join(args.output_dir, f"{k:09d}.png"), panel)
+        k += 1
+    ok = export_video(args.output_dir, os.path.join(args.output_dir, "out.mp4"),
+                      fps=10)
+    print(f"wrote {k} panels; video={'ok' if ok else 'ffmpeg unavailable'}")
+    return 0
+
+
+def cmd_time_matching(args) -> int:
+    """Microbenchmark: filter vs matcher vs decode over random frames
+    (tests/time_matching.lua:20-48) with the fetch-synced methodology."""
+    import jax
+    import jax.numpy as jnp
+    from ..geometry import Geometry
+    from ..models.flow import FlowModel, crop_features_center
+    from ..ops import matching
+
+    g = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
+                 maxh=16, maxw=16)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3), jnp.float32)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    filt = jax.jit(lambda p, a: model.features(p, a))
+    def full(p, a, b):
+        f1 = crop_features_center(g, model.features(p, a))
+        f2 = model.features(p, b)
+        return matching.match_flow_fused(f1, f2, g.maxh, g.maxw, 8, interpret)
+    fullj = jax.jit(full)
+
+    def bench(fn, *a):
+        out = fn(*a)
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # sync
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        return (time.perf_counter() - t0) / args.iters
+
+    t_filter = bench(filt, params, img1)
+    t_full = bench(fullj, params, img1, img2)
+    print(f"filter: {t_filter * 1e3:.3f} ms   "
+          f"filter+match+decode: {t_full * 1e3:.3f} ms   "
+          f"({1.0 / t_full:.0f} fps)")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="det-tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("rectify")
+    r.add_argument("directory")
+    r.add_argument("--calibration", default="ardrone")
+    r.add_argument("--first", type=int, default=0)
+    r.add_argument("--num", type=int, default=0)
+
+    d = sub.add_parser("download")
+    d.add_argument("host")
+    d.add_argument("--remote-dir", default="models")
+    d.add_argument("--filter", default="")
+    d.add_argument("--latest", action="store_true")
+    d.add_argument("--output-dir", default=".")
+
+    s = sub.add_parser("stream")
+    s.add_argument("model")
+    s.add_argument("directory")
+    s.add_argument("--calibration", default="ardrone")
+    s.add_argument("--head", default="mean")
+    s.add_argument("--first", type=int, default=0)
+    s.add_argument("--num", type=int, default=0)
+
+    v = sub.add_parser("video")
+    v.add_argument("model")
+    v.add_argument("directory")
+    v.add_argument("--calibration", default="ardrone")
+    v.add_argument("--output-dir", default="video_out")
+    v.add_argument("--post-win", type=int, default=5)
+    v.add_argument("--first", type=int, default=0)
+    v.add_argument("--num", type=int, default=0)
+
+    t = sub.add_parser("time-matching")
+    t.add_argument("--iters", type=int, default=10)
+
+    args = p.parse_args(argv)
+    return {"rectify": cmd_rectify, "download": cmd_download,
+            "stream": cmd_stream, "video": cmd_video,
+            "time-matching": cmd_time_matching}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,150 @@
+"""Radial (polar 1-D) flow trainer CLI — train_radial_opticalflow.lua rebuild.
+
+Mirrors /root/reference/radial/train_radial_opticalflow.lua:20-130: network
+spec parseable from a string flag (-net "[[3,1,17,5],'tanh',...]"), polar
+input size, hWin classes, NLL training over the radial window, per-epoch
+evaluation, weights-only checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train the radial polar flow net")
+    p.add_argument("-net", "--network", default="[[3,5,5,10],'tanh',[10,5,5,10]]",
+                   help="layer spec: list of [cin,kh,kw,cout] and 'tanh'")
+    p.add_argument("-hwin", "--h-win", type=int, default=15)
+    p.add_argument("-hi", "--h-input", type=int, default=200)
+    p.add_argument("-wi", "--w-input", type=int, default=200)
+    p.add_argument("-rd", "--root-directory", default="data/")
+    p.add_argument("-ds", "--dataset", default="")
+    p.add_argument("-cal", "--calibration", default="gopro")
+    p.add_argument("-ni", "--num-input-images", type=int, default=10)
+    p.add_argument("-d", "--delta", type=int, default=1)
+    p.add_argument("-n", "--n-train-set", type=int, default=1000)
+    p.add_argument("-e", "--num-epochs", type=int, default=10)
+    p.add_argument("-r", "--learning-rate", type=float, default=1e-2)
+    p.add_argument("-lrd", "--learning-rate-decay", type=float, default=1e-5)
+    p.add_argument("-bs", "--batch-size", type=int, default=32)
+    p.add_argument("-omd", "--output-model-dir", default="models_radial")
+    p.add_argument("-mf", "--max-flow", type=float, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..data import datasets as ds_mod
+    from ..data import images as img_mod
+    from ..data.groundtruth import gt_geometry
+    from ..geometry import Geometry
+    from ..geometry3d import calibration as calmod
+    from ..models.radial import RadialFlowNetwork
+    from ..training.train import sgd_torch
+
+    layers = tuple(
+        tuple(l) if isinstance(l, list) else l
+        for l in ast.literal_eval(args.network)
+    )
+    net = RadialFlowNetwork(layers, args.h_win)
+    cal = calmod.PRESETS[args.calibration]
+    max_flow = args.max_flow if args.max_flow is not None else args.h_win - 1
+
+    # load frames and build polar pairs with projected GT
+    loader = img_mod.ImageLoader(os.path.join(args.root_directory,
+                                              args.dataset),
+                                 cal.hImg, cal.wImg)
+    geom_gt = Geometry(hImg=cal.hImg, wImg=cal.wImg,
+                       layers=((3, 16, 16, 768),),
+                       maxh=16, maxw=16, maxhGT=16, maxwGT=16,
+                       hKernelGT=16, wKernelGT=16)
+    pairs = []
+    prev = loader.get_next_frame()
+    for _ in range(args.num_input_images - 1):
+        for _ in range(args.delta - 1):
+            loader.get_next_frame()
+        img = loader.get_next_frame()
+        if img is None:
+            break
+        pair = ds_mod.load_polar_pair(
+            cal, prev, img, cal.hImg, cal.wImg,
+            args.h_input, args.w_input, net.w_kernel,
+            geom_gt=geom_gt, max_flow=max_flow)
+        if pair.good:
+            pairs.append(pair)
+        prev = img
+    if not pairs:
+        print("no usable pairs", file=sys.stderr)
+        return 1
+
+    rng = np.random.RandomState(0)
+    h_patch = net.h_kernel + args.h_win - 1
+    w_patch = net.w_kernel
+    batches = []
+    for pair in pairs:
+        got = ds_mod.generate_polar_training_patches(
+            pair, h_patch, w_patch, args.h_win,
+            args.n_train_set // len(pairs), rng)
+        if got:
+            batches.append(got)
+    p1 = np.concatenate([b[0] for b in batches])
+    p2 = np.concatenate([b[1] for b in batches])
+    ts = np.concatenate([b[2] for b in batches])
+
+    params = net.init(jax.random.PRNGKey(0))
+    tx = sgd_torch(args.learning_rate, args.learning_rate_decay)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, b1, b2, bt):
+        def loss_fn(prm):
+            logp = jax.vmap(lambda a, b: net.log_scores(prm, a, b))(b1, b2)
+            logp = logp.reshape(logp.shape[0], -1)
+            ll = jnp.take_along_axis(logp, bt[:, None], axis=-1)[:, 0]
+            acc = (jnp.argmax(logp, -1) == bt).mean()
+            return -ll.mean(), acc
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    os.makedirs(args.output_model_dir, exist_ok=True)
+    bs = args.batch_size
+    n = (len(ts) // bs) * bs
+    for epoch in range(args.num_epochs):
+        order = rng.permutation(n)
+        losses, accs = [], []
+        for b in range(0, n, bs):
+            sel = order[b:b + bs]
+            params, opt_state, loss, acc = step(
+                params, opt_state, jnp.asarray(p1[sel]), jnp.asarray(p2[sel]),
+                jnp.asarray(ts[sel]))
+            losses.append(float(loss))
+            accs.append(float(acc))
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f} acc {np.mean(accs):.3f}")
+        # weights-only save, format version 1
+        # (/root/reference/radial/radial_opticalflow_network.lua:122-132)
+        import flax.serialization
+        with open(os.path.join(args.output_model_dir, f"e{epoch}.msgpack"),
+                  "wb") as f:
+            f.write(flax.serialization.to_bytes(params))
+        with open(os.path.join(args.output_model_dir, "meta.json"), "w") as f:
+            json.dump({"version": 1, "layers": list(map(list, (
+                l if isinstance(l, str) else list(l) for l in layers))),
+                "hWin": args.h_win}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -338,6 +338,7 @@ def generate_polar_training_patches(
             t = pair.polar_gt[gy, gx]
         else:
             t = 0.0
+        t = float(np.floor(t + 0.5))
         if not (0 <= t < h_win):
             continue
         p1.append(pair.polar_prev_image[y:y + h_patch + h_win - 1,

@@ -1,0 +1,124 @@
+"""Per-epoch scoring + learning curves — score_opticalflow.lua tooling.
+
+score_epoch (/root/reference/score_opticalflow.lua:235-311): per epoch,
+patch accuracy (exact-index) + mean NLL on a held-out patch set, and
+full-image accuracy/meanDst on a few frames. getLearningScores /
+getLearningCurve (:136-233): read score histories back from checkpoint dirs
+and plot accuracy curves (matplotlib instead of gnuplot). The threshold
+sweep of do_score_opticalflow.lua:55-83 is sweep_thresholds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry, Learning
+from . import score as score_mod
+
+
+def score_epoch(model, params, geom: Geometry, lrn: Learning, test_ds,
+                images: Optional[list] = None, flows: Optional[list] = None,
+                n_images: int = 2) -> Dict:
+    """Returns {'test_acc', 'test_err', 'full_acc', 'full_meandst'}."""
+    from ..models import flow as flow_model
+
+    out: Dict = {}
+    # patch accuracy + NLL (evalOpticalFlowPatches, :72-113)
+    logp = jax.vmap(lambda a, b: model.log_scores(params, a, b))(
+        jnp.asarray(test_ds.patches1), jnp.asarray(test_ds.patches2))
+    logp = np.asarray(logp.reshape(logp.shape[0], -1))
+    pred = logp.argmax(-1)
+    it = np.asarray(test_ds.itargets)
+    out["test_acc"] = float((pred == it).mean())
+    out["test_err"] = float(-logp[np.arange(len(it)), it].mean())
+
+    # full-image accuracy + meanDst (evalOpticalFlowFull, :115-134)
+    if images and flows:
+        accs, dsts = [], []
+        for k in range(min(n_images, len(flows))):
+            if flows[k] is None:
+                continue
+            dist = model.scores(params, jnp.asarray(images[k]),
+                                jnp.asarray(images[k + 1]))
+            dec = flow_model.process_output(geom, dist, process_full=True)
+            s = score_mod.eval_flow(geom, np.asarray(dec.full), flows[k])
+            accs.append(s.accuracy)
+            dsts.append(s.mean_dst)
+        if accs:
+            out["full_acc"] = float(np.mean(accs))
+            out["full_meandst"] = float(np.mean(dsts))
+    return out
+
+
+def get_learning_scores(models_dir: str) -> Dict[str, List[Dict]]:
+    """Collect score histories from checkpoint directories
+    (getLearningScores, :136-214)."""
+    curves = {}
+    for name in sorted(os.listdir(models_dir)):
+        meta_path = os.path.join(models_dir, name, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("score"):
+                curves[name] = meta["score"]
+    return curves
+
+
+def plot_learning_curves(models_dir: str, out_path: str,
+                         key: str = "test_acc") -> Optional[str]:
+    """Accuracy curves across checkpoints (getLearningCurve, :216-233)."""
+    curves = get_learning_scores(models_dir)
+    if not curves:
+        return None
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for name, hist in curves.items():
+        ys = [h.get(key) for h in hist if key in h]
+        if ys:
+            ax.plot(range(len(ys)), ys, label=name[:60])
+    ax.set_xlabel("epoch")
+    ax.set_ylabel(key)
+    ax.legend(fontsize=6)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def sweep_thresholds(model, params, geom: Geometry, images, flows,
+                     thresholds=(0.0, 0.2, 0.4, 0.6, 0.8)) -> List[Dict]:
+    """Confidence-threshold sweep over full-image decoding
+    (do_score_opticalflow.lua:55-83): per threshold, the fraction of pixels
+    kept and their accuracy."""
+    from ..models import flow as flow_model
+
+    results = []
+    for thr in thresholds:
+        kept, good = 0, 0
+        total = 0
+        for k in range(len(flows)):
+            if flows[k] is None:
+                continue
+            dist = model.scores(params, jnp.asarray(images[k]),
+                                jnp.asarray(images[k + 1]))
+            dec = flow_model.process_output(geom, dist, process_full=True,
+                                            threshold=thr)
+            hb, wb = score_mod.borders(geom)
+            conf = np.asarray(dec.full_confidences)[hb:-hb, wb:-wb]
+            diff = np.abs(np.asarray(dec.full) - flows[k]).sum(0)[hb:-hb, wb:-wb]
+            sel = conf > 0.5
+            kept += int(sel.sum())
+            good += int((diff[sel] == 0).sum())
+            total += diff.size
+        results.append({"threshold": float(thr),
+                        "kept_frac": kept / max(total, 1),
+                        "acc_at_kept": good / max(kept, 1)})
+    return results

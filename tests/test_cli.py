@@ -1,0 +1,115 @@
+"""CLI end-to-end tests: the main trainer on a tiny synthetic dataset,
+the radial trainer, score_epoch/learning curves, and the microbenchmark."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_datasets import make_sequence
+
+
+def test_opticalflow_cli_end_to_end(tmp_path):
+    root = make_sequence(tmp_path, n=4, h=64, w=80, dx=2)
+    out = str(tmp_path / "models")
+    from depth_estimation_tpu.cli import opticalflow
+    rc = opticalflow.main([
+        "--root-directory", root,
+        "--num-input-images", "4",
+        "--n-train-set", "48", "--n-test-set", "16",
+        "--num-epochs", "2",
+        "--n-features", "8",
+        "--kernel1-size", "5",
+        "--num-layers", "1",
+        "--window-size", "6",
+        "--gt-window-size", "6",
+        "--learning-rate", "0.05",
+        "--batch-size", "16",
+        "--calibration", "test64x80",
+        "--output-model-dir", out,
+    ])
+    assert rc == 0
+    dirs = os.listdir(out)
+    assert len(dirs) == 1
+    meta = json.load(open(os.path.join(out, dirs[0], "meta.json")))
+    assert meta["version"] == 9
+    assert len(meta["score"]) == 2
+    assert meta["score"][0]["test_acc"] >= 0.0
+    # curves plotting
+    from depth_estimation_tpu.training.curves import plot_learning_curves
+    png = plot_learning_curves(out, str(tmp_path / "curve.png"))
+    assert png and os.path.exists(png)
+
+
+def test_radial_cli_end_to_end(tmp_path):
+    """Forward-motion sequence over a two-depth scene (top plane far, bottom
+    plane near) so the essential-matrix fit is non-degenerate and flow is
+    radially outward from the center epipole."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu.flow.celiu import bilinear_sample, gaussian_smooth
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    H, W = 128, 160
+    # strong texture at working resolution: mildly smoothed noise keeps the
+    # patch-SSD minima sharp (GT confidence) while LK still tracks
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(H, W, 3).astype(np.float32)), 0.8, 2))
+    base = np.clip(base * 1.5, 0, 1).astype(np.float32)
+
+    def forward_step(img, s_top, s_bottom):
+        """Next frame after forward motion: zoom factor s per depth plane."""
+        cy, cx = H / 2, W / 2
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        s = np.where(yy < cy, s_top, s_bottom)
+        xs = cx + (xx - cx) / s
+        ys = cy + (yy - cy) / s
+        return np.asarray(bilinear_sample(jnp.asarray(img),
+                                          jnp.asarray(xs), jnp.asarray(ys)))
+
+    d = tmp_path / "seq" / "images"
+    os.makedirs(d)
+    frame = base
+    for i in range(3):
+        Image.fromarray((np.clip(frame, 0, 1) * 255).astype(np.uint8)).save(
+            d / f"{i:09d}.png")
+        frame = forward_step(frame, 1.03, 1.10)
+
+    from depth_estimation_tpu.cli import train_radial
+    rc = train_radial.main([
+        "-rd", str(tmp_path / "seq"),
+        "-cal", "test128x160",
+        "-net", "[[3,5,5,8]]",
+        "-hwin", "5", "-hi", "100", "-wi", "100",
+        "-ni", "3", "-n", "64", "-e", "1", "-bs", "16",
+        "-omd", str(tmp_path / "mr"),
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "mr" / "e0.msgpack")
+
+
+@pytest.fixture(autouse=True)
+def register_test_calibrations():
+    import dataclasses
+    from depth_estimation_tpu.geometry3d import calibration as calmod
+    calmod.PRESETS["test64x80"] = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="test64x80", wImg=80, hImg=64,
+        fx=120.0, fy=120.0, cx=40.0, cy=32.0)
+    calmod.PRESETS["test128x160"] = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="test128x160", wImg=160, hImg=128,
+        fx=200.0, fy=200.0, cx=80.0, cy=64.0)
+    calmod.PRESETS["test64x64"] = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="test64x64", wImg=64, hImg=64,
+        fx=100.0, fy=100.0, cx=32.0, cy=32.0)
+    yield
+    calmod.PRESETS.pop("test64x80", None)
+    calmod.PRESETS.pop("test128x160", None)
+    calmod.PRESETS.pop("test64x64", None)
+
+
+def test_time_matching_tool(capsys):
+    from depth_estimation_tpu.cli import tools
+    rc = tools.main(["time-matching", "--iters", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "filter" in out and "fps" in out

@@ -166,6 +166,10 @@ def match_flow_fused(
       ey/ex f32 soft-argmax centered displacement expectations,
       pmax f32 softmax probability of the WTA cell.
     """
+    if not interpret and jax.default_backend() != "tpu":
+        # Mosaic kernels only compile for TPU; fall back to the interpreter
+        # on CPU meshes (tests, multi-chip dry runs)
+        interpret = True
     squeeze = f1.ndim == 3
     if squeeze:
         f1, f2 = f1[None], f2[None]

@@ -261,6 +261,106 @@ def match_flow_fused(
 
 
 # ---------------------------------------------------------------------------
+# MXU path: cost = |f1|^2 + |f2|^2 - 2 <f1, f2>, cross terms as batched
+# matmuls on the systolic array with a pad-reshape band extraction
+# ---------------------------------------------------------------------------
+
+def _band_from_gram(G: jnp.ndarray, maxw: int) -> jnp.ndarray:
+    """G: (..., W, W2) gram matrix, W2 >= W + maxw - 1. Returns
+    (..., W, maxw) with band[..., x, dx] = G[..., x, x + dx].
+
+    The trick: flat row-major index of (x, x+dx) is x*W2 + x + dx =
+    x*(W2+1) + dx, so padding the flattened matrix and re-viewing it with
+    row stride W2+1 turns the diagonal band into leading columns — pure
+    layout ops, no gather."""
+    *lead, W, W2 = G.shape
+    flat = G.reshape(*lead, W * W2)
+    flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, W)])
+    view = flat.reshape(*lead, W, W2 + 1)
+    return view[..., :maxw]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def match_flow_mxu(
+    f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
+    block_rows: int = 8, dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MXU variant of match_flow_fused: same (idx, ey, ex, pmax) contract.
+
+    For each row-block and each dy, the cross-correlation against all dx
+    shifts is ONE batched matmul (rows x K x shifted rows) on the MXU,
+    followed by the band extraction above; norms and softmax/WTA decode are
+    cheap VPU epilogues. Accepts (H, W, K) or (B, H, W, K). ``dtype``
+    controls the matmul precision (bf16 ~4x f32 MXU throughput; costs are
+    accumulated in f32)."""
+    squeeze = f1.ndim == 3
+    if squeeze:
+        f1, f2 = f1[None], f2[None]
+    B, H, W, K = f1.shape
+    H2, W2 = f2.shape[1], f2.shape[2]
+    assert H2 == H + maxh - 1 and W2 == W + maxw - 1
+
+    mid = (math.ceil(maxh / 2) - 1) * maxw + (math.ceil(maxw / 2) - 1)
+    halfh1 = math.ceil(maxh / 2) - 1
+    halfw1 = math.ceil(maxw / 2) - 1
+    off = jnp.arange(maxh * maxw, dtype=jnp.float32)
+    off_y = off // maxw - halfh1
+    off_x = off % maxw - halfw1
+
+    n1 = jnp.sum(f1.astype(jnp.float32) ** 2, axis=-1)        # (B, H, W)
+    n2 = jnp.sum(f2.astype(jnp.float32) ** 2, axis=-1)        # (B, H2, W2)
+    f1c = f1.astype(dtype)
+    f2c = f2.astype(dtype)
+
+    tb = block_rows
+    n_blocks = -(-H // tb)
+    pad = n_blocks * tb - H
+    if pad:
+        f1c = jnp.pad(f1c, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        n1 = jnp.pad(n1, ((0, 0), (0, pad), (0, 0)))
+        f2c = jnp.pad(f2c, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        n2 = jnp.pad(n2, ((0, 0), (0, pad), (0, 0)))
+
+    def block(i):
+        a = jax.lax.dynamic_slice(
+            f1c, (0, i * tb, 0, 0), (B, tb, W, K))            # (B, t, W, K)
+        na = jax.lax.dynamic_slice(n1, (0, i * tb, 0), (B, tb, W))
+        costs = []
+        for dy in range(maxh):
+            b = jax.lax.dynamic_slice(
+                f2c, (0, i * tb + dy, 0, 0), (B, tb, W2, K))
+            nb = jax.lax.dynamic_slice(n2, (0, i * tb + dy, 0), (B, tb, W2))
+            G = jnp.einsum("btwk,btvk->btwv", a, b,
+                           preferred_element_type=jnp.float32)
+            band = _band_from_gram(G, maxw)                   # (B, t, W, maxw)
+            nb_band = jnp.stack(
+                [jax.lax.slice_in_dim(nb, dx, dx + W, axis=-1)
+                 for dx in range(maxw)], axis=-1)             # nb[x + dx]
+            costs.append(na[..., None] + nb_band - 2.0 * band)
+        c = jnp.concatenate(costs, axis=-1)                   # (B, t, W, D)
+        # decode epilogue (same contract as the fused kernel)
+        best = jnp.argmax(-c, axis=-1).astype(jnp.int32)
+        cmin = jnp.min(c, axis=-1)
+        tie = c[..., mid] <= cmin
+        idx = jnp.where(tie, mid, best)
+        p = jax.nn.softmax(-c, axis=-1)
+        ey = jnp.einsum("btwd,d->btw", p, off_y)
+        ex = jnp.einsum("btwd,d->btw", p, off_x)
+        pmax = jnp.max(p, axis=-1)
+        return idx, ey, ex, pmax
+
+    idx, ey, ex, pmax = jax.lax.map(block, jnp.arange(n_blocks))
+    # (n_blocks, B, tb, W) -> (B, H, W)
+    def fix(a):
+        a = jnp.moveaxis(a, 0, 1).reshape(B, n_blocks * tb, W)
+        return a[:, :H]
+    idx, ey, ex, pmax = fix(idx), fix(ey), fix(ex), fix(pmax)
+    if squeeze:
+        idx, ey, ex, pmax = (a[0] for a in (idx, ey, ex, pmax))
+    return idx, ey, ex, pmax
+
+
+# ---------------------------------------------------------------------------
 # Decode helpers on full cost volumes (parity with getOutputConfidences)
 # ---------------------------------------------------------------------------
 

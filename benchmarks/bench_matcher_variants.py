@@ -1,5 +1,24 @@
+"""Matcher implementation shootout at bench scale (640x480, K=10, 16x16).
+
+Findings recorded here so future rounds don't re-learn them:
+  * plain-XLA MXU band-matmul (match_flow_mxu) is ~7x SLOWER than the Pallas
+    VPU kernel: the per-shift gram matrices materialize in HBM (~48 GB of
+    traffic at this scale) and the K=10 contraction pads to the MXU's native
+    128 (12.8x wasted MACs). MXU only pays off for feature counts near 128.
+  * match_flow_fast (norm-decomposed, no softmax rescaling) is the lean VPU
+    formulation: ~24 ALU ops per displacement-pixel vs ~46.
+"""
+
+import os
+import sys
 import time
-import numpy as np, jax, jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
 from depth_estimation_tpu.ops import matching
 
 maxh = maxw = 16
@@ -13,20 +32,28 @@ def sync(x):
     float(np.asarray(jax.tree.leaves(x)[1]).ravel()[0])
 
 
-for name, fn in [
+VARIANTS = [
     ("pallas f32 b8", lambda: matching.match_flow_fused(f1, f2, maxh, maxw, 8)),
-    ("mxu f32 b8", lambda: matching.match_flow_mxu(f1, f2, maxh, maxw, 8, jnp.float32)),
+    ("fast f32 b8", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 8)),
+    ("fast f32 b16", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 16)),
     ("mxu bf16 b8", lambda: matching.match_flow_mxu(f1, f2, maxh, maxw, 8, jnp.bfloat16)),
-    ("mxu bf16 b16", lambda: matching.match_flow_mxu(f1, f2, maxh, maxw, 16, jnp.bfloat16)),
-    ("mxu bf16 b32", lambda: matching.match_flow_mxu(f1, f2, maxh, maxw, 32, jnp.bfloat16)),
-]:
-    t0 = time.perf_counter()
-    out = fn(); sync(out)
-    compile_t = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    N = 10
-    for _ in range(N):
-        out = fn()
-    sync(out)
-    dt = (time.perf_counter() - t0) / (N * B)
-    print(f"{name}: compile {compile_t:.0f}s, {dt*1e3:.2f} ms/pair -> {1/dt:.0f} fps", flush=True)
+]
+
+if __name__ == "__main__":
+    for name, fn in VARIANTS:
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+            sync(out)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}")
+            continue
+        compile_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        N = 10
+        for _ in range(N):
+            out = fn()
+        sync(out)
+        dt = (time.perf_counter() - t0) / (N * B)
+        print(f"{name}: compile {compile_t:.0f}s, {dt*1e3:.2f} ms/pair "
+              f"-> {1/dt:.0f} fps", flush=True)

@@ -261,6 +261,163 @@ def match_flow_fused(
 
 
 # ---------------------------------------------------------------------------
+# Fast Pallas kernel: norm-decomposed correlation, no softmax rescaling
+# ---------------------------------------------------------------------------
+
+def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
+                 pmax_ref, *, maxh: int, maxw: int, mid: int, th: int):
+    """ALU-lean variant of _fused_kernel.
+
+    cost = |f1|^2 + |f2(+d)|^2 - 2 <f1, f2(+d)>; |f1|^2 is constant across
+    window cells, so argmax and softmax are computed on the partial logit
+    l' = 2 <f1, f2(+d)> - |f2(+d)|^2 (K FMAs instead of K subs + K FMAs),
+    with |f1|^2 subtracted once inside the exp so exp(l' - n1) = exp(-cost)
+    <= 1 — no overflow, hence no flash-style running-max rescaling. Floating
+    point caveat: the decomposition rounds differently from direct diff^2,
+    so near-exact ties can decode to a neighboring cell; use _fused_kernel
+    for bit-parity with the reference.
+    """
+    K = f1_ref.shape[0]
+    W = f1_ref.shape[2]
+    f1 = f1_ref[...]
+    n1 = n1_ref[...]
+    f2 = f2_ref[...]
+
+    halfh1 = math.ceil(maxh / 2) - 1
+    halfw1 = math.ceil(maxw / 2) - 1
+    neg_inf = jnp.float32(-3.4e38)
+
+    s = jnp.zeros((th, W), jnp.float32)
+    sy = jnp.zeros((th, W), jnp.float32)
+    sx = jnp.zeros((th, W), jnp.float32)
+    bi = jnp.zeros((th, W), jnp.int32)
+    bm = jnp.full((th, W), neg_inf, jnp.float32)
+    tmid = jnp.zeros((th, W), jnp.float32)
+
+    for dy in range(maxh):
+        for dx in range(maxw):
+            d = dy * maxw + dx
+            sl = jax.lax.slice(f2, (0, dy, dx), (K, dy + th, dx + W))
+            cross = jnp.sum(f1 * sl, axis=0)
+            n2s = jax.lax.slice(n2_ref[...], (dy, dx), (dy + th, dx + W))
+            t = 2.0 * cross - n2s - n1   # = -cost (cost = n1 + n2s - 2 cross)
+            e = jnp.exp(t)
+            s = s + e
+            sy = sy + e * (dy - halfh1)
+            sx = sx + e * (dx - halfw1)
+            better = t > bm
+            bi = jnp.where(better, d, bi)
+            bm = jnp.maximum(bm, t)
+            if d == mid:
+                tmid = t
+    tie = tmid >= bm
+    idx_ref[...] = jnp.where(tie, mid, bi)
+    pmax_ref[...] = jnp.exp(bm) / s
+    py_ref[...] = sy / s
+    px_ref[...] = sx / s
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def match_flow_fast(
+    f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
+    block_rows: int = 8, interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fast-path fused matcher (norm-decomposed). Same contract/IO as
+    match_flow_fused; trades bit-parity at exact cost ties for ~2x fewer
+    VPU ops. Accepts (H, W, K) or (B, H, W, K)."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    squeeze = f1.ndim == 3
+    if squeeze:
+        f1, f2 = f1[None], f2[None]
+    B, H, W, K = f1.shape
+    W2r = f2.shape[2]
+    assert f2.shape[1] == H + maxh - 1 and W2r == W + maxw - 1
+
+    f1t = jnp.transpose(f1, (0, 3, 1, 2)).astype(jnp.float32)
+    f2t = jnp.transpose(f2, (0, 3, 1, 2)).astype(jnp.float32)
+    n1 = jnp.sum(f1t * f1t, axis=1)                      # (B, H, W)
+    n2 = jnp.sum(f2t * f2t, axis=1)                      # (B, H2, W2)
+
+    th = max(8, (min(block_rows, H) // 8) * 8)
+    n_blocks = pl.cdiv(H, th)
+    slab_rows = -(-(th + maxh - 1) // 8) * 8
+    rows_needed = (n_blocks - 1) * th + slab_rows
+    pad1 = n_blocks * th - H
+    pad2 = rows_needed - f2t.shape[2]
+    W2 = -(-W2r // 128) * 128
+    padw = W2 - W2r
+    if pad1 > 0:
+        f1t = jnp.pad(f1t, ((0, 0), (0, 0), (0, pad1), (0, 0)))
+        n1 = jnp.pad(n1, ((0, 0), (0, pad1), (0, 0)))
+    if pad2 > 0 or padw > 0:
+        f2t = jnp.pad(f2t, ((0, 0), (0, 0), (0, max(pad2, 0)), (0, padw)))
+        n2 = jnp.pad(n2, ((0, 0), (0, max(pad2, 0)), (0, padw)))
+
+    mid = (math.ceil(maxh / 2) - 1) * maxw + (math.ceil(maxw / 2) - 1)
+    out_shape = [
+        jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
+    ]
+
+    def kernel(f1_ref, n1_ref, f2_ref, n2_ref,
+               idx_ref, py_ref, px_ref, pmax_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+
+        def body(slab, nslab, sem, nsem):
+            dma = pltpu.make_async_copy(
+                f2_ref.at[b, :, pl.ds(pl.multiple_of(i * th, 8), slab_rows), :],
+                slab, sem)
+            dma.start()
+            dma2 = pltpu.make_async_copy(
+                n2_ref.at[b, pl.ds(pl.multiple_of(i * th, 8), slab_rows), :],
+                nslab, nsem)
+            dma2.start()
+            dma.wait()
+            dma2.wait()
+            _fast_kernel(f1_ref.at[0], n1_ref.at[0], slab, nslab,
+                         idx_ref.at[0], py_ref.at[0], px_ref.at[0],
+                         pmax_ref.at[0],
+                         maxh=maxh, maxw=maxw, mid=mid, th=th)
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((K, slab_rows, W2), jnp.float32),
+            pltpu.VMEM((slab_rows, W2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    grid_spec = pl.GridSpec(
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, K, th, W), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, W), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+    )
+
+    idx, ey, ex, pmax = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec, interpret=interpret,
+    )(f1t, n1, f2t, n2)
+    if pad1 > 0:
+        idx, ey, ex, pmax = (a[:, :H] for a in (idx, ey, ex, pmax))
+    if squeeze:
+        idx, ey, ex, pmax = (a[0] for a in (idx, ey, ex, pmax))
+    return idx, ey, ex, pmax
+
+
+# ---------------------------------------------------------------------------
 # MXU path: cost = |f1|^2 + |f2|^2 - 2 <f1, f2>, cross terms as batched
 # matmuls on the systolic array with a pad-reshape band extraction
 # ---------------------------------------------------------------------------

@@ -127,3 +127,17 @@ def test_radial_matching():
     got = np.asarray(matching.match_ssd_radial(jnp.asarray(f1), jnp.asarray(f2), hwin))
     want = brute_force_ssd(f1, f2, hwin, 1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fast_kernel_agrees_with_fused():
+    """Norm-decomposed fast path decodes identically on non-degenerate
+    inputs (interpret mode, small size)."""
+    maxh = maxw = 8
+    rng = np.random.RandomState(7)
+    g1 = jnp.asarray(rng.rand(16, 20, 6), np.float32)
+    g2 = jnp.asarray(rng.rand(23, 27, 6), np.float32)
+    i1, y1, x1, p1 = matching.match_flow_fused(g1, g2, maxh, maxw, 8, True)
+    i2, y2, x2, p2 = matching.match_flow_fast(g1, g2, maxh, maxw, 8, True)
+    assert (np.asarray(i1) == np.asarray(i2)).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)

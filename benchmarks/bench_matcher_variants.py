@@ -36,7 +36,6 @@ VARIANTS = [
     ("pallas f32 b8", lambda: matching.match_flow_fused(f1, f2, maxh, maxw, 8)),
     ("fast f32 b8", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 8)),
     ("fast f32 b16", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 16)),
-    ("mxu bf16 b8", lambda: matching.match_flow_mxu(f1, f2, maxh, maxw, 8, jnp.bfloat16)),
 ]
 
 if __name__ == "__main__":

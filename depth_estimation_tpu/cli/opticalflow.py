@@ -184,11 +184,14 @@ def main(argv=None) -> int:
 
     if geom.multiscale:
         model = MultiscaleFlowModel(geom)
-        raise NotImplementedError(
-            "multiscale patch training CLI wiring lands with the fovea "
-            "sampler; use the library API (MultiscaleFlowModel.forward_fovea)")
-    model = flow_model.FlowModel(geom)
-    trainer = training.Trainer(model, lrn)
+        trainer = training.MultiscaleTrainer(model, lrn)
+        train_ds = training.sample_foveas(geom, lrn, seq_images, seq_flows,
+                                          seq_masks, args.n_train_set, rng)
+        test_ds = training.sample_foveas(geom, lrn, seq_images, seq_flows,
+                                         seq_masks, args.n_test_set, rng)
+    else:
+        model = flow_model.FlowModel(geom)
+        trainer = training.Trainer(model, lrn)
     state = trainer.init(jax.random.PRNGKey(0))
     if args.load_weights:
         state = state._replace(params=model_io.load_weights_into(
@@ -199,12 +202,16 @@ def main(argv=None) -> int:
     history = []
     for epoch in range(args.num_epochs):
         if args.renew_train_set and epoch > 0:
-            train_ds = training.sample_patches(
-                geom, lrn, seq_images, seq_flows, seq_masks,
-                args.n_train_set, rng)
+            sampler = (training.sample_foveas if geom.multiscale
+                       else training.sample_patches)
+            train_ds = sampler(geom, lrn, seq_images, seq_flows, seq_masks,
+                               args.n_train_set, rng)
         state, metrics = trainer.epoch(state, train_ds, shuffle_rng=rng)
-        score = score_epoch(model, state.params, geom, lrn, test_ds,
-                            currents, flows, args.n_images_test_set)
+        if geom.multiscale:
+            score = {"test_acc": metrics["acc"], "test_err": metrics["loss"]}
+        else:
+            score = score_epoch(model, state.params, geom, lrn, test_ds,
+                                currents, flows, args.n_images_test_set)
         score.update(metrics, epoch=epoch)
         history.append(score)
         print(f"epoch {epoch}: train loss {metrics['loss']:.4f} "

@@ -163,6 +163,140 @@ def sample_patches(
 # Trainer
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Foveated (multiscale) patch sampling + trainer
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FoveaDataset:
+    """Fovea training samples: full image pairs + per-sample fovea centers
+    (the getElemFovea contract, /root/reference/groundtruth_opticalflow.lua:515-519):
+    the model crops its own per-scale patches around (y, x)."""
+    images1: np.ndarray   # (N_img, H, W, C) stacked (warped prev frames)
+    images2: np.ndarray   # (N_img, H, W, C) stacked (current frames)
+    img_idx: np.ndarray   # (N,) int32 into the stacks
+    ys: np.ndarray        # (N,) int32 fovea rows
+    xs: np.ndarray        # (N,) int32 fovea cols
+    targets_yx: np.ndarray
+    itargets: np.ndarray
+
+    def __len__(self):
+        return len(self.itargets)
+
+
+def sample_foveas(
+    geom: Geometry, learning: Learning,
+    images: list, flows: list, masks: Optional[list],
+    n_samples: int, rng: np.random.RandomState,
+) -> FoveaDataset:
+    """Multiscale sampler: like sample_patches but keeps full frames and
+    fovea coordinates; rejects foveas whose coarsest-scale crop leaves the
+    frame or whose GT is outside the high-res window."""
+    import math
+    assert geom.multiscale
+    mh, mw = geom.maxh * geom.rmax, geom.maxw * geom.rmax
+    lo_h, hi_h = -math.ceil(mh / 2) + 1, mh // 2
+    lo_w, hi_w = -math.ceil(mw / 2) + 1, mw // 2
+    Hc, Wc = geom.rmax * geom.hPatch2, geom.rmax * geom.wPatch2
+    y_lo = math.ceil(Hc / 2) - 1
+    x_lo = math.ceil(Wc / 2) - 1
+    H, W = geom.hImg, geom.wImg
+
+    i1, i2, iy, ix, tyx, its = [], [], [], [], [], []
+    img_map = {}
+    tries = 0
+    while len(its) < n_samples and tries < n_samples * 300:
+        tries += 1
+        k = rng.randint(0, len(flows))
+        if flows[k] is None:
+            continue
+        yc = rng.randint(y_lo, H - (Hc - y_lo))
+        xc = rng.randint(x_lo, W - (Wc - x_lo))
+        fy = flows[k][0][yc, xc]
+        fx = flows[k][1][yc, xc]
+        if not (lo_h <= fy <= hi_h and lo_w <= fx <= hi_w):
+            continue
+        if masks is not None and masks[k] is not None:
+            if masks[k][yc, xc] < 0.5:
+                continue
+        if k not in img_map:
+            img_map[k] = len(img_map)
+        i1.append(img_map[k])
+        iy.append(yc)
+        ix.append(xc)
+        tyx.append((fy, fx))
+        its.append(int(codecs.encode(geom, fy, fx)))
+    order = sorted(img_map, key=img_map.get)
+    return FoveaDataset(
+        np.stack([images[k] for k in order]).astype(np.float32),
+        np.stack([images[k + 1] for k in order]).astype(np.float32),
+        np.asarray(i1, np.int32), np.asarray(iy, np.int32),
+        np.asarray(ix, np.int32),
+        np.asarray(tyx, np.float32), np.asarray(its, np.int32),
+    )
+
+
+class MultiscaleTrainer:
+    """NLL trainer over the foveated multiscale model (the -ms path of
+    /root/reference/opticalflow.lua:284-336)."""
+
+    def __init__(self, model, learning: Learning):
+        self.model = model
+        self.learning = learning
+        self.tx = sgd_torch(learning.rate, learning.rate_decay,
+                            learning.weight_decay)
+
+        def loss_fn(params, imgs1, imgs2, idxs, ys, xs, itarget):
+            def one(i, y, x):
+                return model.forward_fovea(params, imgs1[i], imgs2[i], y, x)
+            logp = jax.vmap(one)(idxs, ys, xs)
+            ll = jnp.take_along_axis(logp, itarget[:, None], axis=-1)[:, 0]
+            pred = jnp.argmax(logp, axis=-1)
+            return -jnp.mean(ll), {
+                "acc": jnp.mean((pred == itarget).astype(jnp.float32))}
+
+        def step(state, imgs1, imgs2, idxs, ys, xs, itarget):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, imgs1, imgs2, idxs, ys, xs, itarget)
+            gsum = sum(jnp.sum(x) for x in jax.tree.leaves(grads))
+            ok = jnp.isfinite(gsum)
+            grads = jax.tree.map(lambda x: jnp.where(ok, x, 0.0), grads)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), dict(
+                aux, loss=loss, grad_ok=ok)
+
+        self._step_fn = step
+        self._step = jax.jit(step)
+
+    def init(self, rng):
+        params = self.model.init(rng)
+        return TrainState(params, self.tx.init(params),
+                          jnp.zeros([], jnp.int32))
+
+    def epoch(self, state, ds: FoveaDataset, batch_size: Optional[int] = None,
+              shuffle_rng=None):
+        bs = batch_size or self.learning.batch_size
+        n = (len(ds) // bs) * bs
+        order = np.arange(n)
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(order)
+        imgs1 = jnp.asarray(ds.images1)
+        imgs2 = jnp.asarray(ds.images2)
+        losses, accs = [], []
+        for b in range(0, n, bs):
+            sel = order[b:b + bs]
+            state, aux = self._step(
+                state, imgs1, imgs2,
+                jnp.asarray(ds.img_idx[sel]), jnp.asarray(ds.ys[sel]),
+                jnp.asarray(ds.xs[sel]), jnp.asarray(ds.itargets[sel]))
+            losses.append(float(aux["loss"]))
+            accs.append(float(aux["acc"]))
+        return state, {"loss": float(np.mean(losses)),
+                       "acc": float(np.mean(accs))}
+
+
 class TrainState(NamedTuple):
     params: dict
     opt_state: dict

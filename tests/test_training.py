@@ -125,3 +125,36 @@ def test_nan_guard_skips_update():
     assert not bool(aux["grad_ok"])
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multiscale_fovea_training_improves():
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+
+    g = Geometry(
+        hImg=72, wImg=80,
+        layers=((3, 5, 5, 8),),
+        maxh=4, maxw=4, maxhGT=8, maxwGT=8, hKernelGT=5, wKernelGT=5,
+        multiscale=True, ratios=(1, 2),
+    )
+    lrn = Learning(rate=0.3, rate_decay=0.0, criterion="nll", batch_size=8)
+    images, flows = synthetic_sequence(g, n=3, seed=4)
+    rng = np.random.RandomState(5)
+    ds = training.sample_foveas(g, lrn, _interleave(images, flows)[0],
+                                _interleave(images, flows)[1], None, 32, rng)
+    assert len(ds) == 32
+    model = MultiscaleFlowModel(g)
+    trainer = training.MultiscaleTrainer(model, lrn)
+    state = trainer.init(jax.random.PRNGKey(0))
+    state, m0 = trainer.epoch(state, ds, shuffle_rng=np.random.RandomState(6))
+    for _ in range(3):
+        state, m = trainer.epoch(state, ds,
+                                 shuffle_rng=np.random.RandomState(6))
+    assert m["loss"] < m0["loss"], (m0, m)
+
+
+def _interleave(images, flows):
+    seq_i, seq_f = [], []
+    for k in range(len(flows)):
+        seq_i.extend([images[k], images[k + 1]])
+        seq_f.extend([flows[k], None])
+    return seq_i, seq_f[:-1]

@@ -44,6 +44,16 @@ def extract_output(
     return idx, score
 
 
+def entropy_mask(dist: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Uncertainty gating: mask out pixels whose window distribution has
+    entropy above threshold (the entropy mask of the offline video pipeline,
+    /root/reference/test_opticalflow.lua:259-273). dist: (..., D) softmax
+    scores. Returns bool (...,)."""
+    p = jnp.clip(dist, 1e-12, 1.0)
+    h = -jnp.sum(p * jnp.log(p), axis=-1)
+    return h <= threshold
+
+
 def enlarge_mask(mask: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
     """Shrink a validity mask by the matcher footprint: a pixel stays valid
     only if the whole (kh, kw) window around it is valid — min-pool, the

@@ -141,3 +141,27 @@ def test_fast_kernel_agrees_with_fused():
     assert (np.asarray(i1) == np.asarray(i2)).mean() > 0.99
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_throughput_kernel_agrees():
+    """Batch-on-lanes kernel decodes identically (interpret mode, small)."""
+    maxh = maxw = 4
+    rng = np.random.RandomState(9)
+    B = 3
+    f1 = jnp.asarray(rng.rand(B, 11, 13, 5), np.float32)
+    f2 = jnp.asarray(rng.rand(B, 14, 16, 5), np.float32)
+    i1, y1, x1, p1 = matching.match_flow_fused(f1, f2, maxh, maxw, 8, True)
+    i2, y2, x2, p2 = matching.match_flow_throughput(
+        f1, f2, maxh, maxw, 8, 8, True)
+    assert (np.asarray(i1) == np.asarray(i2)).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_entropy_mask():
+    from depth_estimation_tpu.ops import extract
+    peaked = np.zeros(16, np.float32); peaked[3] = 1.0
+    flat = np.full(16, 1 / 16, np.float32)
+    m = np.asarray(extract.entropy_mask(
+        jnp.asarray(np.stack([peaked, flat])), threshold=1.0))
+    assert m[0] and not m[1]

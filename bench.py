@@ -35,7 +35,7 @@ def main():
     model = FlowModel(g)
     params = model.init(jax.random.PRNGKey(0))
 
-    BATCH = 4
+    BATCH = 16
 
     @jax.jit
     def pipeline(params, frames1, frames2):

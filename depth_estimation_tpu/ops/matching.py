@@ -439,8 +439,6 @@ def _lanes_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
     B = f1_ref.shape[3]
     f1 = f1_ref[...]                        # (K, th, tw, B)
     n1 = n1_ref[...]                        # (th, tw, B)
-    f2 = f2_ref[...]                        # (K, th+maxh-1, cols, B)
-    n2 = n2_ref[...]
 
     halfh1 = math.ceil(maxh / 2) - 1
     halfw1 = math.ceil(maxw / 2) - 1
@@ -453,23 +451,37 @@ def _lanes_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
     bm = jnp.full(shape, neg_inf, jnp.float32)
     tmid = jnp.zeros(shape, jnp.float32)
 
-    for dy in range(maxh):
+    f1ks = [jax.lax.slice(f1, (k, 0, 0, 0), (k + 1, th, tw, B))[0]
+            for k in range(K)]
+
+    def dy_body(dy, carry):
+        s, sy, sx, bi, bm, tmid = carry
+        # dy offsets land on the third-minor (repeat) dim of the 4-D ref —
+        # dynamic offsets are legal there, so dy can stay a fori_loop
+        # (keeps the Mosaic unroll at maxw*K instead of maxh*maxw*K).
         for dx in range(maxw):
             d = dy * maxw + dx
-            sl = jax.lax.slice(f2, (0, dy, dx, 0),
-                               (K, dy + th, dx + tw, B))
-            cross = jnp.sum(f1 * sl, axis=0)
-            n2s = jax.lax.slice(n2, (dy, dx, 0), (dy + th, dx + tw, B))
+            # K-accumulation over 3-D (th, tw, B) tensors — Mosaic cannot
+            # lower a 4-D multi_reduction over the leading dim here
+            cross = None
+            for k in range(K):
+                sk = f2_ref[k, pl.ds(dy, th), dx:dx + tw, :]
+                cross = (f1ks[k] * sk if cross is None
+                         else cross + f1ks[k] * sk)
+            n2s = n2_ref[pl.ds(dy, th), dx:dx + tw, :]
             t = 2.0 * cross - n2s - n1
             e = jnp.exp(t)
             s = s + e
-            sy = sy + e * (dy - halfh1)
+            sy = sy + e * (dy - halfh1).astype(jnp.float32)
             sx = sx + e * (dx - halfw1)
             better = t > bm
             bi = jnp.where(better, d, bi)
             bm = jnp.maximum(bm, t)
-            if d == mid:
-                tmid = t
+            tmid = jnp.where(d == mid, t, tmid)
+        return s, sy, sx, bi, bm, tmid
+
+    s, sy, sx, bi, bm, tmid = jax.lax.fori_loop(
+        0, maxh, dy_body, (s, sy, sx, bi, bm, tmid))
     tie = tmid >= bm
     idx_ref[...] = jnp.where(tie, mid, bi)
     pmax_ref[...] = jnp.exp(bm) / s
@@ -482,12 +494,15 @@ def match_flow_throughput(
     f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
     block_rows: int = 8, block_cols: int = 8, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Throughput-oriented fused matcher for LARGE frame batches.
+    """EXPERIMENTAL throughput-oriented fused matcher for LARGE frame
+    batches: the batch lives on the lane dimension (padded to 128) so every
+    VMEM load feeds 128 frames.
 
-    Same contract as match_flow_fused but the batch lives on the lane
-    dimension (padded to 128), so it only pays off with B >= ~64 (video
-    streaming / offline re-processing). Latency-sensitive single-pair use
-    should keep match_flow_fused."""
+    Status (jax 0.9 / v5e): decode-correct (tested in interpret mode), but
+    Mosaic compile time for the 16x16-window unroll is prohibitive (>10 min
+    via the remote compile service), so it is not wired into bench.py yet.
+    Latency-sensitive or small-batch use should keep match_flow_fused (which reaches
+    ~930 fps/pair at 320x180 with B=128)."""
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     squeeze = f1.ndim == 3

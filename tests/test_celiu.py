@@ -110,3 +110,24 @@ def test_car_pair_photometric_improvement():
     assert err_warp < 0.55 * err_id, (err_id, err_warp)
     # flow magnitudes are sane (car pair has modest motion)
     assert np.abs(np.asarray(u)).max() < 30
+
+
+def test_table_pair_and_debug_utils():
+    """Second bundled pair (table1/table2) + the numeric sanitizers."""
+    from depth_estimation_tpu.data.images import load_image, scale
+    im1 = np.asarray(scale(load_image("/root/reference/celiu/table1.jpg"), 96, 128))
+    im2 = np.asarray(scale(load_image("/root/reference/celiu/table2.jpg"), 96, 128))
+    u, v, warped = celiu.coarse2fine_flow(im1, im2, alpha=0.02, ratio=0.75,
+                                          min_width=30, n_outer=4, n_inner=1,
+                                          n_sor=25)
+    err_id = np.abs(im1 - im2).mean()
+    err_warp = np.abs(im1 - np.asarray(warped)).mean()
+    assert err_warp < 0.6 * err_id, (err_id, err_warp)
+
+    from depth_estimation_tpu.utils.debug import checked, nan_debug
+    f = checked(lambda x: jnp.log(x))
+    np.testing.assert_allclose(np.asarray(f(jnp.asarray(1.0))), 0.0)
+    with pytest.raises(Exception):
+        f(jnp.asarray(-1.0))   # NaN raises
+    with nan_debug(False):
+        pass

@@ -113,3 +113,17 @@ def test_time_matching_tool(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "filter" in out and "fps" in out
+
+
+def test_v2_cli_end_to_end(tmp_path):
+    root = make_sequence(tmp_path, n=3, h=64, w=80, dx=2)
+    from depth_estimation_tpu.cli import train_v2
+    rc = train_v2.main([
+        "-rd", root, "-cal", "test64x80",
+        "-win", "5", "-ker", "5", "-nf", "8", "-nk", "5",
+        "-n", "32", "-e", "1", "-bs", "16",
+        "-omd", str(tmp_path / "mv2"),
+    ])
+    assert rc == 0
+    import os
+    assert os.path.exists(tmp_path / "mv2" / "e0")

@@ -61,6 +61,50 @@ def sharded_train_step(trainer, mesh: Mesh, axis: str = "dp"):
     return step
 
 
+def spatial_sharded_flow_fn(model, mesh: Mesh, axis: str = "sp"):
+    """Context-parallel analog for correlation workloads (SURVEY.md §5): ONE
+    frame pair is split across devices along image rows; each device pulls
+    the halo rows its matcher window + conv footprint need from its
+    neighbor below via ppermute, computes its slice of features + matching
+    locally, and the row-sharded outputs concatenate to the full-frame
+    result. The last shard's missing halo arrives as ppermute zeros —
+    identical to running the unsharded model on a zero-bottom-padded frame.
+
+    Returns fn(params, img1 (H, W, C), img2) -> (idx, ey, ex, pmax) with
+    H = n_devices * rows_per_shard (pad the frame to a multiple first).
+    """
+    g = model.geometry
+    n = mesh.devices.size
+    halo = (g.maxh - 1) + (g.hKernel - 1)
+    perm = [(i + 1, i) for i in range(n - 1)]   # pull rows from below
+
+    def local(params, s1, s2):
+        # s1, s2: (Hs, W, C) local row shards
+        h1 = jax.lax.ppermute(s1[:halo], axis, perm)
+        h2 = jax.lax.ppermute(s2[:halo], axis, perm)
+        e1 = jnp.concatenate([s1, h1], axis=0)
+        e2 = jnp.concatenate([s2, h2], axis=0)
+        from ..models.flow import crop_features_center
+        from ..ops import matching
+        f1full = model.features(params, e1)
+        f2 = model.features(params, e2)
+        # crop f1 left/right by the half-window; rows start at halfh1 like
+        # the unsharded path, keeping Hs output rows per shard
+        f1 = f1full[g.halfh1:g.halfh1 + s1.shape[0],
+                    g.halfw1:f1full.shape[1] - g.halfw2, :]
+        f2 = f2[:s1.shape[0] + g.maxh - 1]
+        return matching.match_flow_fused(f1, f2, g.maxh, g.maxw)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_flow_fn(model, mesh: Mesh, axis: str = "dp"):
     """Batched flow inference sharded over the mesh: (B, H, W, C) pairs ->
     per-pair decoded flow, B split across devices. Uses shard_map so each

@@ -1,0 +1,77 @@
+"""Mesh parallelism tests on the 8-device virtual CPU mesh: dp-sharded
+training/inference and the spatial (halo-exchange) frame sharding — the
+sharded result must equal the unsharded computation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depth_estimation_tpu.geometry import Geometry, Learning
+from depth_estimation_tpu.models.flow import FlowModel, crop_features_center
+from depth_estimation_tpu.ops import matching
+from depth_estimation_tpu.parallel import mesh as pmesh
+from depth_estimation_tpu.training import train as training
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, jax.devices()
+    return pmesh.make_mesh(jax.devices(), axis="sp")
+
+
+def test_spatial_halo_sharding_matches_unsharded(mesh8):
+    g = Geometry(hImg=64, wImg=48, layers=((3, 5, 5, 6),), maxh=4, maxw=4)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    H = 64  # 8 devices x 8 rows
+    img1 = jnp.asarray(rng.rand(H, 48, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(H, 48, 3), jnp.float32)
+
+    fn = pmesh.spatial_sharded_flow_fn(model, mesh8, axis="sp")
+    idx_s, ey_s, ex_s, pm_s = fn(params, img1, img2)
+
+    # unsharded equivalent: zero-pad the bottom by the halo and run whole
+    halo = (g.maxh - 1) + (g.hKernel - 1)
+    p1 = jnp.pad(img1, ((0, halo), (0, 0), (0, 0)))
+    p2 = jnp.pad(img2, ((0, halo), (0, 0), (0, 0)))
+    f1 = crop_features_center(g, model.features(params, p1))
+    f2 = model.features(params, p2)
+    idx_u, ey_u, ex_u, pm_u = matching.match_flow_fused(
+        f1, f2, g.maxh, g.maxw, 8, True)
+
+    np.testing.assert_array_equal(np.asarray(idx_s)[:H],
+                                  np.asarray(idx_u)[:H])
+    np.testing.assert_allclose(np.asarray(ey_s)[:H], np.asarray(ey_u)[:H],
+                               atol=1e-5)
+
+
+def test_dp_training_step_matches_single_device(mesh8):
+    g = Geometry(hImg=32, wImg=32, layers=((3, 5, 5, 6),), maxh=4, maxw=4)
+    lrn = Learning(rate=1e-2, batch_size=16, criterion="nll")
+    model = FlowModel(g)
+    trainer = training.Trainer(model, lrn)
+    state = trainer.init(jax.random.PRNGKey(1))
+
+    rng = np.random.RandomState(1)
+    B = 16
+    p1 = jnp.asarray(rng.rand(B, g.hPatch2, g.wPatch2, 3), jnp.float32)
+    p2 = jnp.asarray(rng.rand(B, g.hPatch2, g.wPatch2, 3), jnp.float32)
+    it = jnp.asarray(rng.randint(0, 16, B), jnp.int32)
+    st = jnp.zeros((B, 16), jnp.float32)
+
+    # single-device result
+    s1, aux1 = trainer._step(state, p1, p2, it, st)
+
+    # dp-sharded result
+    dp = pmesh.make_mesh(jax.devices(), axis="dp")
+    step = pmesh.sharded_train_step(trainer, dp)
+    state0 = pmesh.replicate(state, dp)
+    b1, b2, bit, bst = pmesh.shard_batch((p1, p2, it, st), dp)
+    s2, aux2 = step(state0, b1, b2, bit, bst)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

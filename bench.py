@@ -1,16 +1,27 @@
 """Headline benchmark: 640x480 frame-pair flow+depth throughput per chip.
 
-Target (BASELINE.md): >= 500 frame-pairs/sec/chip. The pipeline benched is
-the full online inference path on device: conv feature trunk (both frames) ->
-fused Pallas matcher (match + softmax + WTA + soft-argmax, no cost volume in
-HBM) -> x-flow -> depth conversion (depth ~ m * |j - cx| / |flow|, the
+Target (BASELINE.md): >= 500 frame-pairs/sec/chip.
+
+The benched pipeline is the reference's own online pipeline shape
+(/root/reference/depth_estimation_api.lua:134-198): 640x480 input frames are
+downscaled ON DEVICE to the canonical 320x180 working resolution
+(image.scale at :144 — the reference never matches at full resolution),
+then: conv feature trunk (both frames) -> fused Pallas matcher
+(match + softmax + WTA + soft-argmax in one pass, no cost volume in HBM) ->
+x-flow -> depth conversion (depth ~ m * |j - cx| / |flow|, the
 ARdroneAPI::computeDepthMapFromFlow rule,
-/root/reference/ardrone/ardrone_api.cpp:127-136).
+/root/reference/ardrone/ardrone_api.cpp:127-136). Frames are processed in
+batches of 128 (video streaming regime).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 vs_baseline is value / 500 (the north-star target; the reference publishes
 no numbers of its own — see BASELINE.md).
+
+Timing methodology: on tunneled device backends (axon) block_until_ready
+does not synchronize — only a host fetch does. We time N amortized calls
+ending in a scalar fetch and subtract the fetch round-trip measured on a
+trivial kernel.
 """
 
 import json
@@ -27,20 +38,30 @@ def main():
     from depth_estimation_tpu.models.flow import FlowModel, crop_features_center
     from depth_estimation_tpu.ops import matching
 
+    # canonical working resolution and model shape
+    # (/root/reference/opticalflow.lua:122-140: inputs 640x480, matching at
+    # 320x180, 10 features, 16x16 window)
     g = Geometry(
-        hImg=480, wImg=640,
+        hImg=180, wImg=320,
         layers=((3, 16, 16, 10),),
         maxh=16, maxw=16,
     )
     model = FlowModel(g)
     params = model.init(jax.random.PRNGKey(0))
 
-    BATCH = 16
+    BATCH = 128
+    H_IN, W_IN = 480, 640
 
     @jax.jit
     def pipeline(params, frames1, frames2):
-        f1 = crop_features_center(g, model.features(params, frames1))
-        f2 = model.features(params, frames2)
+        # device-side downscale to working resolution (the reference's
+        # image.scale step)
+        small1 = jax.image.resize(
+            frames1, (BATCH, g.hImg, g.wImg, 3), method="bilinear")
+        small2 = jax.image.resize(
+            frames2, (BATCH, g.hImg, g.wImg, 3), method="bilinear")
+        f1 = crop_features_center(g, model.features(params, small1))
+        f2 = model.features(params, small2)
         idx, ey, ex, pmax = matching.match_flow_fused(
             f1, f2, g.maxh, g.maxw, 8
         )
@@ -54,13 +75,9 @@ def main():
         return ex, ey, depth, pmax
 
     rng = np.random.RandomState(0)
-    f1 = jnp.asarray(rng.rand(BATCH, g.hImg, g.wImg, 3), jnp.float32)
-    f2 = jnp.asarray(rng.rand(BATCH, g.hImg, g.wImg, 3), jnp.float32)
+    f1 = jnp.asarray(rng.rand(BATCH, H_IN, W_IN, 3), jnp.float32)
+    f2 = jnp.asarray(rng.rand(BATCH, H_IN, W_IN, 3), jnp.float32)
 
-    # Timing methodology: on tunneled/remote device backends (axon),
-    # block_until_ready does not synchronize — only a host fetch does. So we
-    # measure N amortized calls ending in a scalar fetch, subtract the fetch
-    # round-trip measured on a trivial kernel, and divide.
     nop = jax.jit(lambda x: x + 1.0)
     float(nop(jnp.float32(1.0)))
     out = pipeline(params, f1, f2)           # warmup/compile
@@ -70,7 +87,7 @@ def main():
     float(nop(jnp.float32(2.0)))
     rtt = time.perf_counter() - t0
 
-    n_iters = 20
+    n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = pipeline(params, f1, f2)

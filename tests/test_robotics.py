@@ -181,3 +181,59 @@ def test_avoidance_loop_steers_around_obstacles():
     # never collided with the pillar
     d = np.sqrt((traj[:, 0] - 8.0) ** 2 + (traj[:, 1] - 0.0) ** 2)
     assert d.min() > 1.5, d.min()
+
+
+def test_compute_depth_map_from_flow():
+    from depth_estimation_tpu.robotics.drone_api import (
+        compute_depth_map_from_flow)
+    h, w = 12, 16
+    xflow = np.full((h, w), 4.0, np.float32)
+    xflow[5, 5] = -7.0   # outlier removed by the mode filter
+    mask = np.ones((h, w), np.float32)
+    depth, conf = compute_depth_map_from_flow(xflow, mask, m=2.0, k=3)
+    # mode filter restores 4.0 at the outlier; depth = 2 * |j-8| / 4
+    j = 12
+    np.testing.assert_allclose(depth[5, j], 2.0 * abs(j - 8) / 4.0)
+    assert conf[5, j] == 1.0
+    assert conf[5, 8] == 0.0   # middle column has no parallax
+
+
+def test_fifo_drone_api_over_pipes(tmp_path):
+    """FifoDroneAPI end-to-end with a fake SDK peer: control commands
+    arrive; navdata round-trips into telemetry + dead-reckoned position."""
+    ctrl = str(tmp_path / "control_pipe")
+    nav = str(tmp_path / "navdata_pipe")
+    os.mkfifo(ctrl)
+    os.mkfifo(nav)
+    received = []
+
+    def peer():
+        # open order matters: the API side opens control (write, blocking)
+        # first, then navdata (read, O_NDELAY) — so the peer must open the
+        # control read end first
+        f = open(ctrl, "rb")
+        nav_w = open(nav, "wb")
+        nav_w.write(runtime.encode_navdata(1, 88.0, [0, 0, 1], 120.0,
+                                           [2.0, 0.0, 0.0]))
+        nav_w.flush()
+        for _ in range(2):
+            received.append(runtime.decode_control(f.read(33)))
+        nav_w.close()
+        f.close()
+
+    t = threading.Thread(target=peer, daemon=True)
+    t.start()
+    from depth_estimation_tpu.robotics.drone_api import FifoDroneAPI
+    api = FifoDroneAPI(ctrl, nav)
+    api.takeoff()
+    api.set_control(0.25, 0.0, 0.0, 0.0)
+    import time as _t
+    _t.sleep(0.2)
+    api.next()
+    t.join(timeout=5)
+    assert received and received[0][0] == "T"
+    assert api.navdata["battery"] == 88.0
+    assert api.altitude == 120.0
+    # dead-reckoning moved +x (velocity 2 * dt)
+    assert api.position()[0] > 0
+    api.close()

@@ -66,3 +66,33 @@ class Timers:
     def report(self) -> str:
         return " ".join(f"{k}={v * 1e3:.2f}ms" for k, v in
                         sorted(self.means().items()))
+
+
+@contextlib.contextmanager
+def profiled_span(name: str):
+    """jax.profiler named span (the Tic/Toc markers' trace equivalent):
+    shows up in TensorBoard/perfetto traces captured with
+    jax.profiler.start_trace()."""
+    import jax
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+@contextlib.contextmanager
+def capture_trace(log_dir: str):
+    """Capture a device profile into log_dir (view with tensorboard or
+    perfetto). Gated: tunneled backends may not support profiling."""
+    import jax
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield started
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass

@@ -1,0 +1,81 @@
+"""Remaining tooling tests: the synthetic random-warp GT exactness check
+(cartesian_groundtruth_cc_testme port,
+/root/reference/radial/radial_opticalflow_groundtruth.lua:170-210),
+threshold sweeps, kernel visualization, profiler spans."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from depth_estimation_tpu.data import groundtruth
+from depth_estimation_tpu.geometry import Geometry
+from depth_estimation_tpu.models import flow as flow_model
+
+
+def test_random_flow_warp_gt_exact():
+    """Build a random integer flow field, construct im1 so that
+    im1(p) = im2(p + flow(p)), and assert the cross-correlation GT recovers
+    the flow exactly where patches are fully determined — the reference's
+    strongest GT self-test."""
+    g = Geometry(hImg=48, wImg=56, layers=((8, 5, 5, 200),),
+                 maxh=4, maxw=4, maxhGT=4, maxwGT=4,
+                 hKernelGT=5, wKernelGT=5)
+    rng = np.random.RandomState(0)
+    # many channels -> near-unique patches (the reference uses a random
+    # 30-channel image)
+    im2 = rng.rand(g.hImg, g.wImg, 8).astype(np.float32)
+    # piecewise-constant flow (so whole patches share a displacement and
+    # the warp is exactly realizable)
+    fy = np.zeros((g.hImg, g.wImg), np.int32)
+    fx = np.zeros((g.hImg, g.wImg), np.int32)
+    fy[:, :28] = 1
+    fx[:, :28] = -1
+    fy[:, 28:] = 0
+    fx[:, 28:] = 2
+    ys, xs = np.mgrid[0:g.hImg, 0:g.wImg]
+    sy = np.clip(ys + fy, 0, g.hImg - 1)
+    sx = np.clip(xs + fx, 0, g.wImg - 1)
+    im1 = im2[sy, sx]
+
+    gy, gx, conf = groundtruth.exhaustive_flow(g, im1, im2)
+    # check interior pixels away from the region boundary and frame borders
+    sel = np.zeros((g.hImg, g.wImg), bool)
+    sel[8:-8, 8:20] = True
+    sel[8:-8, 36:-8] = True
+    ok = sel & (conf > 0)
+    assert ok.sum() > 200
+    np.testing.assert_array_equal(gy[ok], fy[ok])
+    np.testing.assert_array_equal(gx[ok], fx[ok])
+
+
+def test_sweep_thresholds():
+    from depth_estimation_tpu.training.curves import sweep_thresholds
+
+    g = Geometry(hImg=40, wImg=48, layers=((3, 5, 5, 75),), maxh=4, maxw=4,
+                 maxhGT=4, maxwGT=4, hKernelGT=5, wKernelGT=5)
+    model = flow_model.FlowModel(g)
+    from depth_estimation_tpu.models.filters import identity_filter_params
+    params = identity_filter_params(g)
+    rng = np.random.RandomState(1)
+    im2 = rng.rand(g.hImg, g.wImg, 3).astype(np.float32)
+    im1 = np.roll(im2, -1, axis=0)
+    gtf = np.zeros((2, g.hImg, g.wImg), np.float32)
+    gtf[0] = 1.0
+    res = sweep_thresholds(model, params, g, [im1, im2], [gtf],
+                           thresholds=(0.0, 0.5))
+    assert len(res) == 2
+    assert res[0]["kept_frac"] >= res[1]["kept_frac"]
+    assert res[0]["acc_at_kept"] > 0.9
+
+
+def test_kernels_image_and_profiler_span():
+    from depth_estimation_tpu.utils.viz import kernels_image
+    from depth_estimation_tpu.utils.timer import profiled_span
+
+    k = np.random.RandomState(0).randn(5, 5, 3, 4).astype(np.float32)
+    img = kernels_image(k)
+    assert img.ndim == 2 and img.max() <= 1.0
+
+    with profiled_span("test-span"):
+        x = jnp.ones(8).sum()
+    assert float(x) == 8.0

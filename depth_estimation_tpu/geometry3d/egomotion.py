@@ -349,6 +349,22 @@ def get_ego_motion(img1, img2, K, max_points: int = 400,
     return get_ego_motion_from_matches(pts, pts2, valid, K, key=key)
 
 
+def fundamental_from_essential(E, K) -> jnp.ndarray:
+    """F = K^-T E K^-1 — the fundmat return of sfm2.getEgoMotion2
+    (/root/reference/radial/test_radial_opticalflow.lua:121-127)."""
+    Ki = jnp.linalg.inv(jnp.asarray(K, jnp.float32))
+    return Ki.T @ jnp.asarray(E) @ Ki
+
+
+def essential_from_rt(R, T) -> jnp.ndarray:
+    """E = [T]_x R."""
+    T = jnp.asarray(T)
+    tx = jnp.array([[0.0, -T[2], T[1]],
+                    [T[2], 0.0, -T[0]],
+                    [-T[1], T[0], 0.0]])
+    return tx @ jnp.asarray(R)
+
+
 def epipole(K, T) -> jnp.ndarray:
     """e2 = K T / T_3 (x, y) — /root/reference/radial/test_radial_opticalflow.lua:129-130."""
     e = jnp.asarray(K) @ jnp.asarray(T)

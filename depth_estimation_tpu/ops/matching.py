@@ -498,11 +498,11 @@ def match_flow_throughput(
     batches: the batch lives on the lane dimension (padded to 128) so every
     VMEM load feeds 128 frames.
 
-    Status (jax 0.9 / v5e): decode-correct (tested in interpret mode), but
-    Mosaic compile time for the 16x16-window unroll is prohibitive (>10 min
-    via the remote compile service), so it is not wired into bench.py yet.
-    Latency-sensitive or small-batch use should keep match_flow_fused (which reaches
-    ~930 fps/pair at 320x180 with B=128)."""
+    Status (jax 0.9 / v5e): decode-correct; compiles in ~80 s. MEASURED
+    SLOWER than match_flow_fused (1.74 vs 1.07 ms/pair at 320x180, B=128):
+    the small (8, 8) spatial tiles re-DMA overlapping f2 slabs ~8x, so the
+    per-frame load savings are eaten by HBM traffic. Kept for study; use
+    match_flow_fused."""
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     squeeze = f1.ndim == 3

@@ -1,0 +1,128 @@
+"""Benchmark all five BASELINE.json configs on the TPU chip.
+
+  1. single-scale patch-correlation flow on the celiu car pair
+  2. celiu variational GT generation (see also bench_celiu.py)
+  3. multiscale 3-level pyramid full-image inference
+  4. radial/polar 1-D matcher
+  5. online streaming API (host ego-motion + device match, per-frame latency)
+
+Writes benchmarks/results.json and prints one line per config.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def fetch(x):
+    float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
+def timed(fn, n, per):
+    out = fn()
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    fetch(out)
+    return (time.perf_counter() - t0) / (n * per)
+
+
+def main():
+    from depth_estimation_tpu.data.images import load_image, scale
+    from depth_estimation_tpu.geometry import Geometry
+    from depth_estimation_tpu.models.flow import FlowModel, crop_features_center
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+    from depth_estimation_tpu.models.radial import RadialFlowNetwork
+    from depth_estimation_tpu.ops import matching
+
+    results = {}
+    rng = np.random.RandomState(0)
+
+    # ---- config 1: single-scale flow on the car pair (17x17 kernel/window)
+    g1 = Geometry(hImg=180, wImg=320, layers=((3, 17, 17, 10),),
+                  maxh=17, maxw=17)
+    m1 = FlowModel(g1)
+    p1 = m1.init(jax.random.PRNGKey(0))
+    car1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
+                            180, 320))
+    car2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"),
+                            180, 320))
+    B = 64
+    c1 = jnp.broadcast_to(jnp.asarray(car1), (B, 180, 320, 3))
+    c2 = jnp.broadcast_to(jnp.asarray(car2), (B, 180, 320, 3))
+
+    @jax.jit
+    def single_scale(prm, a, b):
+        f1 = crop_features_center(g1, m1.features(prm, a))
+        f2 = m1.features(prm, b)
+        return matching.match_flow_fused(f1, f2, g1.maxh, g1.maxw, 8)
+
+    dt = timed(lambda: single_scale(p1, c1, c2), 10, B)
+    results["config1_single_scale_fps"] = round(1 / dt, 1)
+    print(f"config 1 single-scale 320x180 17x17: {dt*1e3:.2f} ms/pair "
+          f"-> {1/dt:.0f} fps", flush=True)
+
+    # ---- config 3: multiscale 3-level pyramid full-image inference
+    g3 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
+                  maxh=8, maxw=8, multiscale=True, ratios=(1, 2, 4))
+    m3 = MultiscaleFlowModel(g3)
+    p3 = m3.init(jax.random.PRNGKey(0))
+    fwd3 = jax.jit(lambda prm, a, b: m3.forward_full(prm, a, b))
+    dt = timed(lambda: fwd3(p3, jnp.asarray(car1), jnp.asarray(car2)), 10, 1)
+    results["config3_multiscale_fps"] = round(1 / dt, 1)
+    print(f"config 3 multiscale 3-level full-image: {dt*1e3:.2f} ms/frame "
+          f"-> {1/dt:.0f} fps", flush=True)
+
+    # ---- config 4: radial/polar 1-D matcher (200x200 polar, hWin 15)
+    net = RadialFlowNetwork(((3, 5, 5, 10), "tanh", (10, 5, 5, 10)), 15)
+    p4 = net.init(jax.random.PRNGKey(0))
+    pol1 = jnp.asarray(rng.rand(200, 200, 3), jnp.float32)
+    pol2 = jnp.asarray(rng.rand(200, 200, 3), jnp.float32)
+    fwd4 = jax.jit(lambda prm, a, b: net.flow(prm, a, b))
+    dt = timed(lambda: fwd4(p4, pol1, pol2), 20, 1)
+    results["config4_radial_fps"] = round(1 / dt, 1)
+    print(f"config 4 radial polar 200x200 hWin15: {dt*1e3:.2f} ms/frame "
+          f"-> {1/dt:.0f} fps", flush=True)
+
+    # ---- config 5: online streaming API (per-frame latency, host+device)
+    import dataclasses
+    from depth_estimation_tpu.api import DepthEstimator
+    from depth_estimation_tpu.geometry3d import calibration as calmod
+    cal = dataclasses.replace(calmod.ARDRONE, name="bench_ardrone")
+    g5 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
+                  maxh=16, maxw=16)
+    m5 = FlowModel(g5)
+    est = DepthEstimator(g5, m5.init(jax.random.PRNGKey(0)), cal, head="mean")
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(500, 660, 3).astype(np.float32)), 1.0, 3))
+    frames = [np.ascontiguousarray(base[10 + k:490 + k, 10 + k:650 + k])
+              for k in range(6)]
+    est.reset(frames[0])
+    est.next_frame_depth(frames[1])      # warm up all jits
+    t0 = time.perf_counter()
+    n = 0
+    for k in range(2, 6):
+        est.next_frame_depth(frames[k])
+        n += 1
+    dt = (time.perf_counter() - t0) / n
+    results["config5_online_api_fps"] = round(1 / dt, 2)
+    print(f"config 5 online API 640x480 per-frame: {dt*1e3:.1f} ms "
+          f"-> {1/dt:.1f} fps  ({est.timers.report()})", flush=True)
+
+    out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,10 +107,11 @@ def main():
     frames = [np.ascontiguousarray(base[10 + k:490 + k, 10 + k:650 + k])
               for k in range(6)]
     est.reset(frames[0])
-    est.next_frame_depth(frames[1])      # warm up all jits
+    est.next_frame_depth(frames[1])      # warm up all jits (slow: remote
+    est.next_frame_depth(frames[2])      # compile service; 2x to be sure)
     t0 = time.perf_counter()
     n = 0
-    for k in range(2, 6):
+    for k in range(3, 6):
         est.next_frame_depth(frames[k])
         n += 1
     dt = (time.perf_counter() - t0) / n

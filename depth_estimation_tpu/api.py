@@ -114,42 +114,50 @@ class DepthEstimator:
         self._prep = _prep
         self._match = _match
 
+        # One-dispatch-per-frame fused step: undistort/scale/filter the new
+        # frame, ego-motion against the previous frame, rotation-compensated
+        # match, and BRANCHLESS bad-frame gating (jnp.where instead of a
+        # host-synced ratio check) — on tunneled backends every host sync
+        # costs a ~30 ms round trip, so the whole frame is one program.
+        def _step(params, last_im, last_filtered, frame):
+            u, small, feats = _prep(params, frame)
+            em = ego.get_ego_motion(
+                last_im, u, cal.K,
+                max_points=cal.sfm.max_points,
+                quality=cal.sfm.points_quality)
+            ratio = em.n_inliers.astype(jnp.float32) / jnp.maximum(
+                em.n_found.astype(jnp.float32), 1.0)
+            good = ratio >= cal.bad_image_threshold
+            R = jnp.where(good, em.R, jnp.eye(3, dtype=jnp.float32))
+            full, mask_d = _match(params, last_filtered, feats, R)
+            full = jnp.where(good, full, 0.0)
+            mask_d = jnp.where(good, mask_d, 0.0)
+            return u, small, feats, full, mask_d, good
+
+        self._step = jax.jit(_step)
+
     def reset(self, first_frame: np.ndarray) -> None:
         u, small, feats = self._prep(self.params, jnp.asarray(first_frame))
-        self.last_im = np.asarray(u)
+        self.last_im = u                  # kept on device
         self.last_im_scaled = small
         self.last_filtered = feats
 
-    def next_frame_depth(self, frame: np.ndarray):
-        """Returns (im_scaled (H, W, C), xflow (H, W), mask (H, W))."""
+    def next_frame_depth(self, frame: np.ndarray, fetch: bool = True):
+        """Returns (im_scaled (H, W, C), xflow (H, W), mask (H, W)).
+
+        One device dispatch per frame (see _step); with fetch=False the
+        returned arrays stay on device (zero host syncs — chain them into
+        further device work)."""
         assert self.last_im is not None, "call reset(first_frame) first"
-        g = self.geometry
         t = self.timers
         t.tic("frame")
-        u, small, feats = self._prep(self.params, jnp.asarray(frame))
-        t.toc("frame", feats)
-
-        t.tic("egomotion")
-        em = ego.get_ego_motion(
-            jnp.asarray(self.last_im), u, self.cal.K,
-            max_points=self.cal.sfm.max_points,
-            quality=self.cal.sfm.points_quality)
-        ratio = float(em.n_inliers) / max(float(em.n_found), 1.0)
-        t.toc("egomotion", em.R)
-
-        if ratio < self.cal.bad_image_threshold:
-            # bad-frame rejection (:159-162)
-            flow = np.zeros((2, g.hImg, g.wImg), np.float32)
-            mask = np.zeros((g.hImg, g.wImg), np.float32)
-        else:
-            t.tic("match")
-            full, mask_d = self._match(self.params, self.last_filtered,
-                                       feats, em.R)
-            flow = np.asarray(full)
-            mask = np.asarray(mask_d)
-            t.toc("match", mask_d)
-
-        self.last_im = np.asarray(u)
+        u, small, feats, full, mask_d, good = self._step(
+            self.params, self.last_im, self.last_filtered,
+            jnp.asarray(frame))
+        t.toc("frame", mask_d if t.sync_device else None)
+        self.last_im = u
         self.last_im_scaled = small
         self.last_filtered = feats
-        return np.asarray(small), flow[1], mask
+        if fetch:
+            return np.asarray(small), np.asarray(full[1]), np.asarray(mask_d)
+        return small, full[1], mask_d

@@ -339,14 +339,26 @@ def get_ego_motion_from_matches(pts1, pts2, valid, K, n_samples: int = 64,
     return EgoMotion(Rs[pick], ts[pick], inls[best], valid.sum())
 
 
-def get_ego_motion(img1, img2, K, max_points: int = 400,
-                   quality: float = 0.001, key=None) -> EgoMotion:
-    """Full sfm2.getEgoMotion surface: detect corners in img1, LK-track to
-    img2, robust essential fit. Returns (R, T, inliers, found)."""
-    pts, pvalid = good_features_to_track(jnp.asarray(img1), max_points, quality)
+@functools.partial(jax.jit, static_argnums=(3,))
+def _ego_motion_jit(img1, img2, K, max_points: int, quality, key) -> EgoMotion:
+    pts, pvalid = good_features_to_track(img1, max_points, quality)
     pts2, status = track_lk(img1, img2, pts)
     valid = pvalid & status
     return get_ego_motion_from_matches(pts, pts2, valid, K, key=key)
+
+
+def get_ego_motion(img1, img2, K, max_points: int = 400,
+                   quality: float = 0.001, key=None) -> EgoMotion:
+    """Full sfm2.getEgoMotion surface: detect corners in img1, LK-track to
+    img2, robust essential fit. Returns (R, T, inliers, found).
+
+    The whole pipeline runs as ONE jitted program — eager composition costs
+    thousands of per-op dispatches (catastrophic on tunneled backends)."""
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    return _ego_motion_jit(jnp.asarray(img1), jnp.asarray(img2),
+                           jnp.asarray(K, jnp.float32), max_points,
+                           jnp.float32(quality), key)
 
 
 def fundamental_from_essential(E, K) -> jnp.ndarray:

@@ -63,6 +63,18 @@ def _cascade_map(maxh: int, maxw: int, r: int) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=None)
+def _cascade_onehot(maxh: int, maxw: int, r: int) -> np.ndarray:
+    """One-hot selection matrix of _cascade_map: out = in @ M. Gathers on
+    the minor (lane) dimension are pathologically slow on TPU; a one-hot
+    matmul runs the same selection on the MXU."""
+    m = _cascade_map(maxh, maxw, r)
+    D = maxh * maxw
+    M = np.zeros((D, D), np.float32)
+    M[m, np.arange(D)] = 1.0
+    return M
+
+
 def cascade(geom: Geometry, dists: List[jnp.ndarray],
             normalize: bool = True) -> List[jnp.ndarray]:
     """Coarse-to-fine fusion. dists[i]: (..., maxh*maxw) distribution at
@@ -75,8 +87,8 @@ def cascade(geom: Geometry, dists: List[jnp.ndarray],
         acc = dists[i]
         for j in range(i + 1, n):
             r = geom.ratios[j] // geom.ratios[i]
-            m = jnp.asarray(_cascade_map(geom.maxh, geom.maxw, r))
-            acc = acc + jnp.take(dists[j], m, axis=-1)
+            M = jnp.asarray(_cascade_onehot(geom.maxh, geom.maxw, r))
+            acc = acc + dists[j] @ M
         if normalize:
             acc = acc / (n - i)
         out.append(acc)
@@ -120,11 +132,22 @@ def _band_indices(geom: Geometry) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=None)
+def _band_onehot(geom: Geometry) -> np.ndarray:
+    """One-hot selection matrix of _band_indices (minor-dim gathers are
+    slow on TPU; selection as an MXU matmul)."""
+    idx = _band_indices(geom)
+    n_in = len(geom.ratios) * geom.maxh * geom.maxw
+    M = np.zeros((n_in, idx.shape[0]), np.float32)
+    M[idx, np.arange(idx.shape[0])] = 1.0
+    return M
+
+
 def middle_removal_concat(geom: Geometry, dists: List[jnp.ndarray]) -> jnp.ndarray:
     """Stack per-scale (..., maxh*maxw) distributions and select the
     band-ordered cells -> (..., n_indices) in yx2xMulti layout."""
     stacked = jnp.concatenate(dists, axis=-1)
-    return jnp.take(stacked, jnp.asarray(_band_indices(geom)), axis=-1)
+    return stacked @ jnp.asarray(_band_onehot(geom))
 
 
 def log_eps(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:

@@ -59,14 +59,20 @@ def match_ssd(f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int) -> jnp.nda
     """
     H = f2.shape[0] - maxh + 1
     W = f2.shape[1] - maxw + 1
+    K = f2.shape[2]
     assert f1.shape[0] == H and f1.shape[1] == W, (f1.shape, f2.shape, maxh, maxw)
+    # channels-first internally: with K last, the K~10 channel dim sits on
+    # the 128-wide lane dimension (~8% VPU utilization); with (K, H, W) the
+    # wide W dim fills the lanes
+    f1t = jnp.transpose(f1, (2, 0, 1))
+    f2t = jnp.transpose(f2, (2, 0, 1))
     costs = []
     for dy in range(maxh):
         for dx in range(maxw):
-            diff = f1 - jax.lax.slice(
-                f2, (dy, dx, 0), (dy + H, dx + W, f2.shape[2])
+            diff = f1t - jax.lax.slice(
+                f2t, (0, dy, dx), (K, dy + H, dx + W)
             )
-            costs.append(jnp.sum(diff * diff, axis=-1))
+            costs.append(jnp.sum(diff * diff, axis=0))
     return jnp.stack(costs, axis=-1)
 
 

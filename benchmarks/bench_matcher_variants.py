@@ -29,7 +29,8 @@ f2 = jnp.asarray(rng.rand(B, H + 15, W + 15, K), jnp.float32)
 
 
 def sync(x):
-    float(np.asarray(jax.tree.leaves(x)[1]).ravel()[0])
+    import jax.numpy as jnp
+    float(jnp.ravel(jax.tree.leaves(x)[1])[0])
 
 
 VARIANTS = [

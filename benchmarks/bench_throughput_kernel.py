@@ -20,7 +20,8 @@ rng = np.random.RandomState(0)
 
 
 def sync(x):
-    float(np.asarray(jax.tree.leaves(x)[1]).ravel()[0])
+    import jax.numpy as jnp
+    float(jnp.ravel(jax.tree.leaves(x)[1])[0])
 
 
 def bench(name, nB, fn, iters=10):

@@ -44,6 +44,20 @@ def extract_output(
     return idx, score
 
 
+def middle_disc_mask(h: int, w: int, radius: float = 25.0,
+                     feather: float = 0.0) -> jnp.ndarray:
+    """Mask out a disc around the image center (where forward-motion flow
+    vanishes and carries no depth signal) with optional linear feathering —
+    the maskmiddle of the offline video pipeline
+    (/root/reference/test_opticalflow.lua:259-273)."""
+    ii = jnp.arange(h, dtype=jnp.float32)[:, None] - h / 2
+    jj = jnp.arange(w, dtype=jnp.float32)[None, :] - w / 2
+    d = jnp.sqrt(ii * ii + jj * jj)
+    if feather > 0:
+        return jnp.clip((d - radius) / feather, 0.0, 1.0)
+    return (d >= radius).astype(jnp.float32)
+
+
 def entropy_mask(dist: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Uncertainty gating: mask out pixels whose window distribution has
     entropy above threshold (the entropy mask of the offline video pipeline,

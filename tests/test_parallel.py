@@ -75,3 +75,21 @@ def test_dp_training_step_matches_single_device(mesh8):
                                rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_sharded_inference_matches_single_device(mesh8):
+    g = Geometry(hImg=40, wImg=40, layers=((3, 5, 5, 6),), maxh=4, maxw=4)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(2)
+    B = 16
+    img1 = jnp.asarray(rng.rand(B, 40, 40, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(B, 40, 40, 3), jnp.float32)
+
+    dp = pmesh.make_mesh(jax.devices(), axis="dp")
+    fn = pmesh.sharded_flow_fn(model, dp, axis="dp")
+    i_s, ey_s, ex_s, pm_s = fn(params, *pmesh.shard_batch((img1, img2), dp))
+
+    i_u, ey_u, ex_u, pm_u = model.forward_fused(params, img1, img2)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_u))
+    np.testing.assert_allclose(np.asarray(ey_s), np.asarray(ey_u), atol=1e-5)

@@ -31,6 +31,19 @@ import numpy as np
 
 
 def main():
+    for attempt in range(3):
+        try:
+            return _run()
+        except Exception as e:  # transient compile-service / TPU hiccups
+            if attempt == 2:
+                raise
+            import sys
+            print(f"bench attempt {attempt} failed ({type(e).__name__}); "
+                  f"retrying in 60s", file=sys.stderr)
+            time.sleep(60)
+
+
+def _run():
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,148 @@
+"""Online per-frame path benchmark (BASELINE config 5) with per-stage
+breakdown: ego-motion, match, full _step, and the end-to-end streaming
+regimes (synchronous fetch-every-frame vs pipelined lag-k fetch).
+
+Run on the TPU chip. Methodology: amortized N-call loop with a single
+1-element fetch at the end (block_until_ready is a no-op on tunneled
+backends — see CLAUDE.md / bench.py).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def fetch(x):
+    float(jnp.ravel(jax.tree.leaves(x)[0])[0])
+
+
+def timed(fn, n):
+    out = fn()
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    fetch(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import dataclasses
+    from depth_estimation_tpu.api import DepthEstimator
+    from depth_estimation_tpu.geometry import Geometry
+    from depth_estimation_tpu.geometry3d import calibration as calmod
+    from depth_estimation_tpu.geometry3d import egomotion as ego
+    from depth_estimation_tpu.models.flow import FlowModel
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+
+    rng = np.random.RandomState(0)
+    cal = dataclasses.replace(calmod.ARDRONE, name="bench_ardrone")
+    g5 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
+                  maxh=16, maxw=16)
+    m5 = FlowModel(g5)
+    est = DepthEstimator(g5, m5.init(jax.random.PRNGKey(0)), cal, head="mean")
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(520, 680, 3).astype(np.float32)), 1.0, 3))
+    frames = [np.ascontiguousarray(base[10 + k:490 + k, 10 + k:650 + k])
+              for k in range(30)]
+
+    # --- stage: ego-motion alone (device arrays resident)
+    f0 = jnp.asarray(frames[0])
+    f1 = jnp.asarray(frames[1])
+    t = timed(lambda: ego.get_ego_motion(
+        f0, f1, cal.K, max_points=cal.sfm.max_points,
+        quality=cal.sfm.points_quality).R, 20)
+    print(f"ego-motion (640x480, {cal.sfm.max_points} pts): {t*1e3:.2f} ms",
+          flush=True)
+
+    # --- stage: full _step (device-resident inputs, single dispatch)
+    est.reset(frames[0])
+    u, small, feats, full, mask_d, good = est._step(
+        est.params, est.last_im, est.last_filtered, jnp.asarray(frames[1]))
+    fetch(mask_d)
+    frame_d = jnp.asarray(frames[2])
+    t = timed(lambda: est._step(est.params, u, feats, frame_d)[4], 20)
+    print(f"_step device compute (one dispatch): {t*1e3:.2f} ms "
+          f"-> {1/t:.1f} fps", flush=True)
+
+    # --- regime A: synchronous per-frame (fetch everything each frame)
+    est.reset(frames[0])
+    est.next_frame_depth(frames[1])
+    est.next_frame_depth(frames[2])
+    t0 = time.perf_counter()
+    n = 0
+    for k in range(3, 15):
+        est.next_frame_depth(frames[k])
+        n += 1
+    dt = (time.perf_counter() - t0) / n
+    print(f"regime A sync fetch-per-frame: {dt*1e3:.1f} ms -> {1/dt:.1f} fps",
+          flush=True)
+
+    # --- regime B: pipelined streaming — dispatch frame k while fetching
+    # frame k - LAG (single-frame-in/out; RTT overlapped with compute)
+    LAG = 3
+    est.reset(frames[0])
+    est.next_frame_depth(frames[1], fetch=False)
+    pend = []
+    t0 = time.perf_counter()
+    n = 0
+    for k in range(2, 30):
+        pend.append(est.next_frame_depth(frames[k], fetch=False))
+        if len(pend) > LAG:
+            im, xflow, mask = pend.pop(0)
+            np.asarray(xflow), np.asarray(mask)   # frame out
+        n += 1
+    while pend:
+        im, xflow, mask = pend.pop(0)
+        np.asarray(xflow), np.asarray(mask)
+    dt = (time.perf_counter() - t0) / n
+    print(f"regime B pipelined lag-{LAG}: {dt*1e3:.1f} ms -> {1/dt:.1f} fps",
+          flush=True)
+
+    # --- regime C: deployment streaming — uint8 camera frames (4x less
+    # upload), ONE packed f16 output per frame (every extra fetch is a full
+    # tunnel round trip), fetcher threads
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    frames_u8 = [np.clip(f * 255, 0, 255).astype(np.uint8) for f in frames]
+    from depth_estimation_tpu.data.images import scale_np
+    est.reset(frames_u8[0])
+    np.asarray(est.next_frame_packed(scale_np(frames_u8[1], 180, 320)))  # warm
+
+    # plain blocking fetch on fetcher threads; polling is_ready() first
+    # costs an RPC per poll (~12 ms/frame measured) — keep >= 3 frames in
+    # flight instead so buffers are ready when fetched
+    fetch_packed = np.asarray
+
+    pool = ThreadPoolExecutor(4)
+
+    def stream_rep():
+        pend = deque()
+        t0 = time.perf_counter()
+        n = 0
+        for k in range(2, 80):
+            fsmall = scale_np(frames_u8[k % 30], 180, 320)
+            pend.append(pool.submit(
+                fetch_packed, est.next_frame_packed(fsmall)))
+            if len(pend) > LAG:
+                pend.popleft().result()
+            n += 1
+        while pend:
+            pend.popleft().result()
+        return (time.perf_counter() - t0) / n
+
+    # 2 reps, report the best: the first rep after other regimes pays
+    # one-time tunnel/thread warm-up (~40% slower, measured)
+    dt = min(stream_rep(), stream_rep())
+    print(f"regime C u8 + packed fetch threads lag-{LAG}: {dt*1e3:.1f} ms "
+          f"-> {1/dt:.1f} fps", flush=True)
+
+
+if __name__ == "__main__":
+    main()

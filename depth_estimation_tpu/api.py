@@ -26,12 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import codecs
 from .geometry import Geometry
 from .geometry3d import undistort as undist
 from .geometry3d.calibration import Calibration
 from .geometry3d import egomotion as ego
 from .models import flow as flow_model
-from .ops import extract
+from .ops import extract, matching
 from .utils.timer import Timers
 from .data.images import scale as img_scale
 
@@ -40,12 +41,27 @@ class DepthEstimator:
     """Holds model params + previous-frame device state (features, frame)."""
 
     def __init__(self, geometry: Geometry, params, cal: Calibration,
-                 head: str = "mean", sync_timers: bool = False):
+                 head: str = "mean", sync_timers: bool = False,
+                 ego_resolution: str = "working"):
+        """ego_resolution:
+          * "working" (default) — ego-motion is estimated at the model's
+            working resolution, on the same downscaled-then-undistorted
+            frame the matcher consumes. TPU-first fast path: the full-
+            resolution undistortion (a 2-D gather, ~12 ms/frame at 640x480,
+            the single most expensive stage) disappears entirely; the
+            rotation estimate is the same physical quantity from 4x fewer
+            pixels (sub-degree agreement, tested in tests/test_api.py).
+          * "full" — the reference's exact order (undistort at camera
+            resolution, ego-motion there, then scale:
+            /root/reference/depth_estimation_api.lua:139-144).
+        """
         geometry.validate()
+        assert ego_resolution in ("working", "full")
         self.geometry = geometry
         self.params = params
         self.cal = cal
         self.head = head
+        self.ego_resolution = ego_resolution
         self.model = flow_model.FlowModel(geometry)
         self.timers = Timers(sync_device=sync_timers)
         # K scaled to the model's working resolution
@@ -62,8 +78,23 @@ class DepthEstimator:
 
         @jax.jit
         def _prep(params, frame):
-            u = undist.undistort_image(frame, cal.K, cal.distortion)
-            small = img_scale(u, g.hImg, g.wImg)
+            # uint8 camera frames are accepted and normalized ON DEVICE:
+            # byte upload is 4x less host->device traffic (the tunnel is the
+            # streaming bottleneck), and uint8 is what a camera produces
+            if frame.dtype == jnp.uint8:
+                frame = frame.astype(jnp.float32) / 255.0
+            if ego_resolution == "full":
+                u = undist.undistort_image(frame, cal.K, cal.distortion)
+                small = img_scale(u, g.hImg, g.wImg)
+            else:
+                # scale first, undistort at working res (the composition is
+                # the same continuous map; only resampling order differs).
+                # Frames already at working resolution (host-side downscale,
+                # see data.images.scale_np) skip the device resize.
+                if frame.shape[:2] != (g.hImg, g.wImg):
+                    frame = img_scale(frame, g.hImg, g.wImg)
+                u = small = undist.undistort_image(
+                    frame, self.K_scaled, cal.distortion)
             return u, small, self.model.features(params, small)
 
         @jax.jit
@@ -73,24 +104,24 @@ class DepthEstimator:
             ones = jnp.ones(last_filtered.shape[:2] + (1,), jnp.float32)
             mask = undist.remove_ego_motion(ones, self.K_scaled, R)[..., 0]
             f1 = flow_model.crop_features_center(g, warped)
-            costs = jnp.stack([
-                jnp.sum((f1 - jax.lax.slice(
-                    filtered, (dy, dx, 0),
-                    (dy + f1.shape[0], dx + f1.shape[1], filtered.shape[2])
-                )) ** 2, axis=-1)
-                for dy in range(g.maxh) for dx in range(g.maxw)
-            ], axis=-1)
-            dist = jax.nn.softmax(-costs, axis=-1)
+            # fused Pallas matcher: match + softmax + WTA + soft-argmax in one
+            # pass, never materializing the (H*W*maxh*maxw) cost volume in HBM
             if head == "mean":
-                ey, ex = flow_model.soft_argmax(g, dist)
-                idx, conf = extract.extract_output(dist, 0.11)
+                idx, ey, ex, pmax, marg = matching.match_flow_fused(
+                    f1, filtered, g.maxh, g.maxw, 8, False, True)
                 y, x = ey, ex
-                confs = (conf > 0).astype(jnp.float32)
+                # getOutputConfidences2's gate: thresholded extraction on the
+                # y-marginal (/root/reference/opticalflow_model.lua:192-198);
+                # the fused kernel emits the marginal as (maxh, H, W)
+                confs = extract.confidences_from_marginal(
+                    jnp.moveaxis(marg, 0, -1), 0.11).astype(jnp.float32)
             else:
-                out = flow_model.process_output(g, dist, process_full=False)
-                y = out.y.astype(jnp.float32)
-                x = out.x.astype(jnp.float32)
-                confs = out.confidences
+                idx, ey, ex, pmax = matching.match_flow_fused(
+                    f1, filtered, g.maxh, g.maxw)
+                wy, wx = codecs.decode(g, idx)
+                y = wy.astype(jnp.float32)
+                x = wx.astype(jnp.float32)
+                confs = jnp.ones_like(pmax)
             H, W = y.shape
             # full-frame assembly
             hoff = (g.hImg - H) // 2
@@ -119,10 +150,12 @@ class DepthEstimator:
         # match, and BRANCHLESS bad-frame gating (jnp.where instead of a
         # host-synced ratio check) — on tunneled backends every host sync
         # costs a ~30 ms round trip, so the whole frame is one program.
+        ego_K = cal.K if ego_resolution == "full" else self.K_scaled
+
         def _step(params, last_im, last_filtered, frame):
             u, small, feats = _prep(params, frame)
             em = ego.get_ego_motion(
-                last_im, u, cal.K,
+                last_im, u, ego_K,
                 max_points=cal.sfm.max_points,
                 quality=cal.sfm.points_quality)
             ratio = em.n_inliers.astype(jnp.float32) / jnp.maximum(
@@ -135,6 +168,19 @@ class DepthEstimator:
             return u, small, feats, full, mask_d, good
 
         self._step = jax.jit(_step)
+
+        # Streaming variant: everything the consumer needs in ONE packed
+        # half-precision array — on remote-attached (tunneled) TPUs every
+        # result fetch costs a full round trip, so the streaming loop must
+        # fetch exactly one buffer per frame. Layout: (2, hImg, wImg) f16 =
+        # [xflow, mask * confidences].
+        def _step_packed(params, last_im, last_filtered, frame):
+            u, small, feats, full, mask_d, good = _step(
+                params, last_im, last_filtered, frame)
+            packed = jnp.stack([full[1], mask_d]).astype(jnp.float16)
+            return u, small, feats, packed
+
+        self._step_packed = jax.jit(_step_packed)
 
     def reset(self, first_frame: np.ndarray) -> None:
         u, small, feats = self._prep(self.params, jnp.asarray(first_frame))
@@ -161,3 +207,17 @@ class DepthEstimator:
         if fetch:
             return np.asarray(small), np.asarray(full[1]), np.asarray(mask_d)
         return small, full[1], mask_d
+
+    def next_frame_packed(self, frame):
+        """Streaming fast path: one device dispatch, ONE fetchable output —
+        a (2, hImg, wImg) float16 array [xflow, mask*confidences]. The caller
+        fetches it (np.asarray), typically from a fetcher thread with a few
+        frames in flight (see cli/tools.py cmd_stream --pipeline)."""
+        assert self.last_im is not None, "call reset(first_frame) first"
+        u, small, feats, packed = self._step_packed(
+            self.params, self.last_im, self.last_filtered,
+            jnp.asarray(frame))
+        self.last_im = u
+        self.last_im_scaled = small
+        self.last_filtered = feats
+        return packed

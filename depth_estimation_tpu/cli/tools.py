@@ -80,7 +80,20 @@ def cmd_download(args) -> int:
 
 
 def cmd_stream(args) -> int:
-    """Streaming frame-pair loop with per-stage timing."""
+    """Streaming frame-pair loop with per-stage timing.
+
+    Two regimes (the reference's streaming driver prints per-stage running
+    means, depth_estimation_opticalflow.lua:141-147 — same here):
+      * synchronous (default): fetch every frame's outputs before the next —
+        per-frame latency includes one full host round trip;
+      * --pipeline K: single-frame-in/single-frame-out with K frames in
+        flight — outputs of frame n are fetched (on a fetcher thread) while
+        frame n+1..n+K compute, hiding the tunnel round trip behind device
+        compute. This is the deployment regime on remote-attached TPUs.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..api import DepthEstimator
     from ..data import images as img_mod
     from ..geometry3d import calibration as calmod
@@ -89,21 +102,48 @@ def cmd_stream(args) -> int:
     geom, lrn, params, _ = model_io.load_model(args.model)
     cal = calmod.PRESETS[args.calibration]
     est = DepthEstimator(geom, params, cal, head=args.head,
-                         sync_timers=True)
+                         sync_timers=not args.pipeline)
     loader = img_mod.ImageLoader(args.directory, cal.hImg, cal.wImg,
                                  args.first)
     first = loader.get_next_frame()
     est.reset(first)
+
+    def fetch_packed(out):
+        # plain blocking fetch on the fetcher thread. Do NOT poll
+        # out.is_ready() first: under tunneled backends every poll is an
+        # RPC (~12 ms/frame measured). Keep >= 3 frames in flight so the
+        # buffer exists by fetch time (fetching a not-yet-computed buffer
+        # can hit a pathologically slow wait path).
+        a = np.asarray(out)
+        return a[0].astype(np.float32), a[1].astype(np.float32)
+
+    pool = ThreadPoolExecutor(4) if args.pipeline else None
+    pend: deque = deque()
     n = 0
     t0 = time.perf_counter()
     while True:
         frame = loader.get_next_frame()
         if frame is None or (args.num and n >= args.num):
             break
-        im, xflow, mask = est.next_frame_depth(frame)
+        if args.pipeline:
+            # host-side downscale to working res before upload: tunnel
+            # bandwidth bounds streaming fps, and the working-res uint8
+            # frame is 6x smaller than the camera frame
+            fsmall = img_mod.scale_np(frame, geom.hImg, geom.wImg)
+            pend.append(pool.submit(
+                fetch_packed, est.next_frame_packed(fsmall)))
+            if len(pend) > args.pipeline:
+                xflow, mask = pend.popleft().result()
+        else:
+            im, xflow, mask = est.next_frame_depth(frame)
         n += 1
         print(f"frame {n}: {est.timers.report()}  "
               f"FPS: {n / (time.perf_counter() - t0):.2f}")
+    while pend:
+        pend.popleft().result()
+    if n:
+        dt = time.perf_counter() - t0
+        print(f"total: {n} frames in {dt:.2f}s -> {n / dt:.2f} FPS")
     return 0
 
 
@@ -220,6 +260,8 @@ def main(argv=None) -> int:
     s.add_argument("--head", default="mean")
     s.add_argument("--first", type=int, default=0)
     s.add_argument("--num", type=int, default=0)
+    s.add_argument("--pipeline", type=int, default=0, metavar="K",
+                   help="frames in flight (0 = synchronous)")
 
     v = sub.add_parser("video")
     v.add_argument("model")

@@ -244,6 +244,11 @@ def decode(geom: Geometry, flat) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Vectorized decode: flat indices -> centered (dy, dx) int32 arrays.
     Replaces the reference's inline-C x2yxMulti2 (/root/reference/x2yxMulti2.c)
     with a single constant-table gather."""
-    lut = jnp.asarray(decode_lut(geom))
     flat = jnp.asarray(flat)
+    if not geom.multiscale:
+        # single-scale flat index is plain row-major: arithmetic beats a
+        # (lane-dimension) LUT gather on TPU
+        return (flat // geom.maxw - geom.halfh1,
+                flat % geom.maxw - geom.halfw1)
+    lut = jnp.asarray(decode_lut(geom))
     return lut[flat, 0], lut[flat, 1]

@@ -85,14 +85,48 @@ def good_features_to_track(
 # Pyramidal Lucas-Kanade tracking
 # ---------------------------------------------------------------------------
 
-def _sample_patches(img: jnp.ndarray, pts: jnp.ndarray, win: int) -> jnp.ndarray:
-    """Bilinear (win, win) patches centered (ceil) on pts (N, 2=(x,y))."""
+def _sample_patches_gather(img: jnp.ndarray, pts: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Bilinear (win, win) patches centered (ceil) on pts (N, 2=(x,y)) —
+    gather formulation (reference semantics; slow on TPU, kept for tests)."""
     off = jnp.arange(win, dtype=jnp.float32) - (win - 1) / 2.0
     dy, dx = jnp.meshgrid(off, off, indexing="ij")
     xs = pts[:, 0][:, None, None] + dx[None]
     ys = pts[:, 1][:, None, None] + dy[None]
     from ..flow.celiu import bilinear_sample
     return bilinear_sample(img[..., None], xs, ys)[..., 0]
+
+
+def _axis_weights(coords: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Bilinear selection matrix S[..., i] = weight of source index i for
+    each continuous coordinate (clamped-corner semantics, identical to
+    bilinear_sample's EnforceRange clamping). coords (...,) -> (..., n)."""
+    c = jnp.clip(coords, 0.0, n - 1.0)
+    c0 = jnp.floor(c)
+    w = c - c0
+    ii = jnp.arange(n, dtype=jnp.float32)
+    return ((1.0 - w)[..., None] * (ii == c0[..., None])
+            + w[..., None] * (ii == c0[..., None] + 1.0))
+
+
+def _sample_patches(img: jnp.ndarray, pts: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Bilinear (win, win) patches centered (ceil) on pts (N, 2=(x,y)).
+
+    TPU formulation: bilinear sampling is separable, so each patch is
+    Ry @ img @ Cx^T with 2-hot row/column selection matrices — two batched
+    matmuls on the MXU instead of N*win*win scattered gathers (minor-dim
+    gathers are pathological on TPU; this is the one-hot-matmul rule)."""
+    H, W = img.shape
+    off = jnp.arange(win, dtype=jnp.float32) - (win - 1) / 2.0
+    ys = pts[:, 1][:, None] + off[None]               # (N, win)
+    xs = pts[:, 0][:, None] + off[None]
+    Ry = _axis_weights(ys, H)                          # (N, win, H)
+    Cx = _axis_weights(xs, W)                          # (N, win, W)
+    rows = jax.lax.dot_general(
+        Ry, img, (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)           # (N, win, W)
+    return jax.lax.dot_general(
+        rows, Cx, (((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)           # (N, win, win)
 
 
 def track_lk(

@@ -1,18 +1,19 @@
 """Confidence extraction over per-pixel window distributions.
 
-TPU rebuild of extract_output.cpp (/root/reference/extract_output.cpp:63-155):
-the reference scans each pixel's distribution, collects up to 4 (threshold
->= 0.2) or 8 values above the threshold with hand-rolled sorting networks,
-returns the argmax index and a rank-weighted score
-``sum_k (K - k) * v_sorted[k]``. Here that whole routine is
-``jax.lax.top_k`` + a weighted sum — vectorized over all pixels at once.
+TPU rebuild of extract_output.cpp (/root/reference/extract_output.cpp:63-155
+ExtractOutput, :157-255 ExtractOutputMarginalized — the file ships two
+identical copies of the latter): the reference scans each pixel's
+distribution, collects the FIRST-in-scan-order 4 (threshold >= 0.2) or 8
+values above the threshold, sorts them with hand-rolled sorting networks,
+and returns the argmax-among-kept index plus a rank-weighted score
+``sum_k (K - k) * v_sorted[k]`` (cumsum-then-sum, :121-129). Here the
+scan-order keep is a cumsum mask and the sort is ``jax.lax.top_k`` —
+vectorized over all pixels at once, bit-matching the C scan (property-tested
+against a literal numpy port in tests/test_extract.py).
 
-Deviations (documented, both strictly saner):
-  * the reference keeps the first-in-scan-order K entries above threshold;
-    we keep the K *largest* (identical unless more than K entries exceed the
-    threshold, which for softmax outputs and threshold 0.11 requires K > 9).
-  * pixels with no value above the threshold have undefined idx/score in the
-    reference (uninitialized memory); we return the argmax and score 0.
+One deviation (saner): pixels with no value above the threshold have
+*uninitialized* idx/score in the reference (the output tensors are never
+zeroed); we return the plain argmax and score 0.
 """
 
 from __future__ import annotations
@@ -29,19 +30,62 @@ def extract_output(
     dist: jnp.ndarray, threshold: float = 0.11, max_highs: int | None = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Args: dist (..., D) per-pixel distribution (softmax scores).
-    Returns (idx, score): argmax flat index (int32) and rank-weighted
-    accumulated score, 0 where nothing clears the threshold."""
+    Returns (idx, score): argmax flat index among the first-in-scan-order
+    max_highs above-threshold entries (int32; plain argmax where nothing
+    clears the threshold) and the rank-weighted accumulated score
+    (0 where nothing clears the threshold)."""
     if max_highs is None:
         max_highs = 8 if threshold < 0.2 else 4
     k_eff = min(max_highs, dist.shape[-1])
-    vals, _ = jax.lax.top_k(dist, k_eff)
-    vals = jnp.where(vals > threshold, vals, 0.0)
+    above = dist > threshold
+    # the reference keeps the FIRST max_highs entries in scan order
+    # (extract_output.cpp:98-112), not the largest ones
+    kept = above & (jnp.cumsum(above, axis=-1) <= max_highs)
+    v = jnp.where(kept, dist, 0.0)
+    vals, _ = jax.lax.top_k(v, k_eff)
     # rank weights start at max_highs even when D < max_highs (the reference
     # always uses a buffer of max_highs slots, zero-filled)
     weights = jnp.arange(max_highs, max_highs - k_eff, -1, dtype=dist.dtype)
     score = jnp.einsum("...k,k->...", vals, weights)
-    idx = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+    any_kept = kept.any(axis=-1)
+    idx = jnp.where(any_kept, jnp.argmax(v, axis=-1),
+                    jnp.argmax(dist, axis=-1)).astype(jnp.int32)
     return idx, score
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def extract_output_marginalized(
+    dist: jnp.ndarray, threshold: float = 0.11, threshold_acc: float = 0.0,
+    max_highs: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ExtractOutputMarginalized (/root/reference/extract_output.cpp:157-255):
+    same scan as extract_output but gates on the accumulated score —
+    returns (idx, good) with good = 1 where the rank-weighted score clears
+    threshold_acc (int32; the reference's retgd), 0 elsewhere. The caller
+    marginalizes the window distribution first (getOutputConfidences2,
+    opticalflow_model.lua:192-193, sums over the x axis before extracting)."""
+    idx, score = extract_output(dist, threshold, max_highs)
+    good = (score >= threshold_acc).astype(jnp.int32)
+    return idx, good
+
+
+def confidences_from_marginal(marg: jnp.ndarray,
+                              threshold: float = 0.11) -> jnp.ndarray:
+    """Thresholded extraction on an already-computed y-marginal
+    (..., maxh) -> bool (...): score > 0 (getOutputConfidences2's gds)."""
+    _, score = extract_output(marg, threshold)
+    return score > 0
+
+
+def mean_head_confidences(dist: jnp.ndarray, maxh: int, maxw: int,
+                          threshold: float = 0.11) -> jnp.ndarray:
+    """The 'mean' output head's confidence gate (getOutputConfidences2,
+    /root/reference/opticalflow_model.lua:171-199): marginalize the window
+    distribution over x (sum over maxw -> a maxh-length y-marginal), run the
+    thresholded extraction on the marginal, keep pixels with score > 0.
+    dist (..., maxh*maxw) -> bool (...)."""
+    marg = dist.reshape(dist.shape[:-1] + (maxh, maxw)).sum(axis=-1)
+    return confidences_from_marginal(marg, threshold)
 
 
 def middle_disc_mask(h: int, w: int, radius: float = 25.0,

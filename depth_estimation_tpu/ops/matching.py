@@ -92,7 +92,7 @@ def match_ssd_radial(f1: jnp.ndarray, f2: jnp.ndarray, hwin: int) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 
 def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
-                  *, maxh: int, maxw: int, mid: int, th: int):
+                  marg_ref=None, *, maxh: int, maxw: int, mid: int, th: int):
     """One grid step processes a (K, TH, W) row-block of the output.
 
     f1_ref: (K, TH, W) VMEM — reference features for this row block.
@@ -103,7 +103,14 @@ def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
              getOutputConfidences, /root/reference/opticalflow_model.lua:153-161)
       py/px — soft-argmax expectation of the *centered* displacement under
              softmax(-cost) (reference getOutputConfidences2 / OutputExtractor)
-      pmax — probability mass of the best cell (confidence).
+      pmax — probability mass of the best cell (confidence)
+      marg (optional, (maxh, TH, W)) — NORMALIZED y-marginal of the softmax
+             (sum over dx), the input of the 'mean'-head confidence gate
+             (getOutputConfidences2, opticalflow_model.lua:192-193).
+
+    Softmax is flash-style but ROW-LOCAL: each dy row keeps its own running
+    max and sum over dx, combined at the end — same op count as a global
+    online softmax and the per-row sums ARE the y-marginal.
     """
     K = f1_ref.shape[0]
     W = f1_ref.shape[2]
@@ -113,21 +120,19 @@ def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
     halfw1 = math.ceil(maxw / 2) - 1
 
     neg_inf = jnp.float32(-3.4e38)
-    # Online (flash) softmax state over logits l_d = -cost_d.
-    m0 = jnp.full((th, W), neg_inf, jnp.float32)       # running max logit
-    s0 = jnp.zeros((th, W), jnp.float32)               # running sum exp(l - m)
-    sy0 = jnp.zeros((th, W), jnp.float32)              # running sum exp * dy
-    sx0 = jnp.zeros((th, W), jnp.float32)
-    bi0 = jnp.zeros((th, W), jnp.int32)                # argmax logit (first hit)
-    bm0 = jnp.full((th, W), neg_inf, jnp.float32)      # best logit
-    lmid0 = jnp.zeros((th, W), jnp.float32)            # logit at middle index
+    bi = jnp.zeros((th, W), jnp.int32)                 # argmax logit (first hit)
+    bm = jnp.full((th, W), neg_inf, jnp.float32)       # best logit
+    lmid = jnp.zeros((th, W), jnp.float32)             # logit at middle index
+    m_rows, s_rows, sx_rows = [], [], []
 
     # Fully static unroll over the search window: Mosaic requires sublane
     # slice offsets to be static (dynamic ones must be 8-aligned), and maxh,
     # maxw are compile-time constants anyway.
-    m, s, sy, sx, bi, bm, lmid = m0, s0, sy0, sx0, bi0, bm0, lmid0
     f2 = f2_ref[...]
     for dy in range(maxh):
+        m = jnp.full((th, W), neg_inf, jnp.float32)    # row running max
+        s = jnp.zeros((th, W), jnp.float32)            # row sum exp(l - m)
+        sx = jnp.zeros((th, W), jnp.float32)           # row sum exp * dx
         for dx in range(maxw):
             d = dy * maxw + dx
             diff = f1 - jax.lax.slice(
@@ -140,14 +145,32 @@ def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
             bm = jnp.where(better, l, bm)
             if d == mid:
                 lmid = l
-            # online softmax update
+            # online softmax update (row-local)
             m_new = jnp.maximum(m, l)
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(l - m_new)
             s = s * alpha + p
-            sy = sy * alpha + p * (dy - halfh1)
             sx = sx * alpha + p * (dx - halfw1)
             m = m_new
+        m_rows.append(m)
+        s_rows.append(s)
+        sx_rows.append(sx)
+
+    # combine rows: global max, rescale each row's sums
+    m = m_rows[0]
+    for dy in range(1, maxh):
+        m = jnp.maximum(m, m_rows[dy])
+    s = jnp.zeros((th, W), jnp.float32)
+    sy = jnp.zeros((th, W), jnp.float32)
+    sx = jnp.zeros((th, W), jnp.float32)
+    rows = []
+    for dy in range(maxh):
+        w = jnp.exp(m_rows[dy] - m)
+        r = s_rows[dy] * w
+        rows.append(r)
+        s = s + r
+        sy = sy + r * (dy - halfh1)
+        sx = sx + sx_rows[dy] * w
 
     # Flat-pixel tie-break: if the middle (zero-flow) cell ties the max,
     # prefer it (/root/reference/opticalflow_model.lua:158-160).
@@ -156,13 +179,17 @@ def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
     pmax_ref[...] = jnp.exp(bm - m) / s
     py_ref[...] = sy / s
     px_ref[...] = sx / s
+    if marg_ref is not None:
+        # one full-block store: Mosaic can't slice a 4-D VMEM ref whose lane
+        # dim isn't 128-aligned, so per-dy stores are not lowerable here
+        marg_ref[...] = jnp.stack(rows, axis=0) / s[None]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def match_flow_fused(
     f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
-    block_rows: int = 8, interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    block_rows: int = 8, interpret: bool = False, want_marg: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Fused match + decode. Accepts (H, W, K) or batched (B, H, W, K)
     inputs (batch is a native grid dimension — do NOT vmap this op; Pallas
     ANY-space operands don't support vmap blocking).
@@ -171,6 +198,8 @@ def match_flow_fused(
       idx  int32 WTA flat window index (middle tie-break),
       ey/ex f32 soft-argmax centered displacement expectations,
       pmax f32 softmax probability of the WTA cell.
+    With want_marg=True a fifth output marg ([B,] maxh, H, W) is appended:
+    the normalized y-marginal softmax (the 'mean'-head confidence input).
     """
     if not interpret and jax.default_backend() != "tpu":
         # Mosaic kernels only compile for TPU; fall back to the interpreter
@@ -213,12 +242,16 @@ def match_flow_fused(
         jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
         jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
     ]
+    if want_marg:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, maxh, n_blocks * th, W), jnp.float32))
 
     # f2 rows overlap between adjacent grid steps (each block needs
     # th + maxh - 1 rows starting at i*th), which BlockSpec's block-unit
     # indexing cannot express — so f2 stays in HBM (ANY) and each program
     # DMAs its own overlapping slab into VMEM scratch. Grid: (batch, rows).
-    def kernel_dma_f2(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref):
+    def kernel_dma_f2(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
+                      *maybe_marg):
         b = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -232,6 +265,7 @@ def match_flow_fused(
             _fused_kernel(f1_ref.at[0], slab,
                           idx_ref.at[0], py_ref.at[0], px_ref.at[0],
                           pmax_ref.at[0],
+                          maybe_marg[0].at[0] if maybe_marg else None,
                           maxh=maxh, maxw=maxw, mid=mid, th=th)
         pl.run_scoped(
             body,
@@ -239,6 +273,15 @@ def match_flow_fused(
             pltpu.SemaphoreType.DMA(()),
         )
 
+    out_specs = [
+        pl.BlockSpec((1, th, W), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ]
+    if want_marg:
+        out_specs.append(
+            pl.BlockSpec((1, maxh, th, W), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(B, n_blocks),
         in_specs=[
@@ -246,24 +289,20 @@ def match_flow_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # f2 stays in HBM; DMA slabs
         ],
-        out_specs=[
-            pl.BlockSpec((1, th, W), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(4)
-        ],
+        out_specs=out_specs,
     )
 
-    idx, ey, ex, pmax = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel_dma_f2,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(f1t, f2t)
     if pad1 > 0:
-        idx, ey, ex, pmax = (a[:, :H] for a in (idx, ey, ex, pmax))
+        outs = tuple(a[:, :H] if a.ndim == 3 else a[:, :, :H] for a in outs)
     if squeeze:
-        idx, ey, ex, pmax = (a[0] for a in (idx, ey, ex, pmax))
-    return idx, ey, ex, pmax
+        outs = tuple(a[0] for a in outs)
+    return outs
 
 
 # ---------------------------------------------------------------------------

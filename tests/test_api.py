@@ -89,3 +89,44 @@ def test_median_filter_masked():
                                                jnp.asarray(mask), 3))
     inner = out[0, 1:-2, 1:-2]
     assert (inner == 3.0).all()
+
+
+def test_ego_resolution_working_agrees_with_full():
+    """The working-resolution ego-motion fast path must recover the same
+    physical rotation as the full-resolution path (sub-degree agreement on a
+    synthetic pure-rotation pair)."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu.geometry3d import egomotion as ego
+    from depth_estimation_tpu.geometry3d import undistort as undist
+    from depth_estimation_tpu.data.images import scale as img_scale
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+
+    rng = np.random.RandomState(5)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    img = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(480, 640, 3).astype(np.float32)), 1.5, 5))
+    # small pure rotation about y (pan)
+    ang = np.deg2rad(1.2)
+    R_true = np.array([[np.cos(ang), 0, np.sin(ang)],
+                       [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    img2 = np.asarray(undist.remove_ego_motion(jnp.asarray(img), K, R_true.T))
+
+    def angle(R):
+        return np.degrees(np.arccos(np.clip((np.trace(np.asarray(R)) - 1) / 2,
+                                            -1, 1)))
+
+    em_full = ego.get_ego_motion(jnp.asarray(img), jnp.asarray(img2), K,
+                                 max_points=300, quality=0.001)
+    sK = K.copy()
+    sK[0] *= 0.5
+    sK[1] *= 0.5
+    s1 = img_scale(jnp.asarray(img), 240, 320)
+    s2 = img_scale(jnp.asarray(img2), 240, 320)
+    em_work = ego.get_ego_motion(s1, s2, sK, max_points=300, quality=0.001)
+    # both estimates close to the true 1.2 deg rotation
+    assert abs(angle(em_full.R) - 1.2) < 0.4, angle(em_full.R)
+    assert abs(angle(em_work.R) - 1.2) < 0.4, angle(em_work.R)
+    # and they agree with each other sub-degree
+    dR = np.asarray(em_full.R) @ np.asarray(em_work.R).T
+    assert angle(dR) < 0.6

@@ -159,3 +159,21 @@ def test_liu_gt_cache(tmp_path):
     fy2, fx2 = groundtruth.cached_liu_flow(str(tmp_path), g, 1, "f0",
                                            im + 1, im, min_width=20)
     np.testing.assert_array_equal(fy, fy2)   # cache hit
+
+
+def test_scale_np_matches_device_scale():
+    """The host-side resize must reproduce jax.image.resize bilinear
+    (antialiased) closely — it feeds the same model."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu.data.images import scale, scale_np
+
+    rng = np.random.RandomState(2)
+    img = rng.rand(48, 64, 3).astype(np.float32)
+    a = np.asarray(scale(jnp.asarray(img), 18, 32))
+    b = scale_np(img, 18, 32)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    # uint8 path stays close after quantization
+    u8 = (img * 255).astype(np.uint8)
+    b8 = scale_np(u8, 18, 32)
+    a8 = np.asarray(scale(jnp.asarray(u8.astype(np.float32)), 18, 32))
+    assert np.abs(b8.astype(np.float32) - a8).max() <= 1.0

@@ -120,3 +120,19 @@ def test_essential_egomotion_synthetic():
     # epipole: e2 = K T / T_3
     e = np.asarray(egomotion.epipole(K, T))
     np.testing.assert_allclose(e, [160 + 300 * 0.2, 120 + 300 * 0.05], rtol=1e-5)
+
+
+def test_sample_patches_matmul_matches_gather():
+    """The MXU (one-hot matmul) patch sampler must reproduce the gather
+    formulation bit-closely, including out-of-frame clamping."""
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(40, 56).astype(np.float32))
+    pts = jnp.asarray(np.stack([
+        rng.rand(30) * 70 - 8,          # x, some out of frame
+        rng.rand(30) * 50 - 6,          # y
+    ], axis=-1).astype(np.float32))
+    for win in (7, 15):
+        a = egomotion._sample_patches(img, pts, win)
+        b = egomotion._sample_patches_gather(img, pts, win)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

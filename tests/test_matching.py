@@ -165,3 +165,29 @@ def test_entropy_mask():
     m = np.asarray(extract.entropy_mask(
         jnp.asarray(np.stack([peaked, flat])), threshold=1.0))
     assert m[0] and not m[1]
+
+
+def test_fused_marginal_output():
+    """want_marg=True appends the normalized y-marginal (sum over dx of the
+    softmax), matching the marginalization in getOutputConfidences2
+    (/root/reference/opticalflow_model.lua:192-193)."""
+    maxh, maxw = 6, 4
+    rng = np.random.RandomState(7)
+    H, W, K = 9, 12, 5
+    f1 = rng.randn(H, W, K).astype(np.float32)
+    f2 = rng.randn(H + maxh - 1, W + maxw - 1, K).astype(np.float32)
+
+    costs = matching.match_ssd(jnp.asarray(f1), jnp.asarray(f2), maxh, maxw)
+    p = np.asarray(matching.softmax_scores(costs))
+    want_marg = p.reshape(H, W, maxh, maxw).sum(-1)       # (H, W, maxh)
+
+    idx, ey, ex, pmax, marg = matching.match_flow_fused(
+        jnp.asarray(f1), jnp.asarray(f2), maxh, maxw, 4, True, True)
+    assert marg.shape == (maxh, H, W)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(marg), 0, -1),
+                               want_marg, rtol=1e-4, atol=1e-5)
+    # and the base outputs are unchanged by the extra output
+    idx0, ey0, ex0, pmax0 = matching.match_flow_fused(
+        jnp.asarray(f1), jnp.asarray(f2), maxh, maxw, 4, True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx0))
+    np.testing.assert_allclose(np.asarray(ey), np.asarray(ey0), rtol=1e-6)

@@ -148,45 +148,150 @@ def cmd_stream(args) -> int:
 
 
 def cmd_video(args) -> int:
-    """Offline pipeline: frames -> flow+depth panels -> mp4."""
-    from ..api import DepthEstimator
-    from ..data import images as img_mod
-    from ..geometry3d import calibration as calmod
-    from ..geometry3d import polar as polar_ops
-    from ..models import io as model_io
-    from ..ops import postprocess
-    from ..utils.viz import export_video, flow2hsv, save_image
+    """Offline pipeline: frames -> flow+depth panels -> mp4.
+
+    Full stage list of /root/reference/test_opticalflow.lua:276-394:
+    undistort -> ego-motion -> warp previous scaled frame -> ONE model
+    forward decoded three ways ('max' WTA, 'mean' soft-argmax, thresholded
+    extraction for the confidence mask :347-358) -> warp-mask erosion ->
+    middle-disc mask x extraction mask (:259-273,361) -> bad-frame zeroing
+    (:293-299) -> masked flows -> median postprocess on mask_total (:376) ->
+    panel rows [prev | warped | current] and [x-flow | y-flow | radial depth]
+    (displayResult :236-257), plus a third row for the 'mean' decode (the
+    reference computes it and ships its display commented out :380-381) ->
+    ffmpeg mp4 at 10 fps (:394). The whole dense path is ONE jitted device
+    program per frame; the PNG fetch is the only host transfer.
+    """
+    import math
+
+    import jax
     import jax.numpy as jnp
 
+    from ..data import images as img_mod
+    from ..geometry3d import calibration as calmod
+    from ..geometry3d import egomotion as ego
+    from ..geometry3d import polar as polar_ops
+    from ..geometry3d import undistort as undist
+    from ..models import flow as flow_model
+    from ..models import io as model_io
+    from ..ops import extract, postprocess
+    from ..utils.viz import export_video, save_image
+
     geom, lrn, params, _ = model_io.load_model(args.model)
+    g = geom
     cal = calmod.PRESETS[args.calibration]
-    est = DepthEstimator(geom, params, cal, head="max")
+    model = flow_model.FlowModel(g)
+    sy, sx = g.hImg / cal.hImg, g.wImg / cal.wImg
+    Khalf = cal.K.copy()
+    Khalf[0] *= sx
+    Khalf[1] *= sy
+    maskmiddle = extract.middle_disc_mask(g.hImg, g.wImg, 25.0)
+
+    def decode_assemble(dist_hw, head_mean):
+        if head_mean:
+            ey, ex = flow_model.soft_argmax(g, dist_hw)
+            H, W = ey.shape
+        else:
+            out = flow_model.process_output(g, dist_hw, process_full=False)
+            ey = out.y.astype(jnp.float32)
+            ex = out.x.astype(jnp.float32)
+            H, W = ey.shape
+        hoff = (g.hImg - H) // 2
+        woff = (g.wImg - W) // 2
+        full = jnp.zeros((2, g.hImg, g.wImg), jnp.float32)
+        full = full.at[0, hoff:hoff + H, woff:woff + W].set(ey)
+        full = full.at[1, hoff:hoff + H, woff:woff + W].set(ex)
+        return full
+
+    def flow_row(full, mask):
+        """displayResult flow panels (:240-245): gray = flow/16 + 0.5 under
+        the mask, invalid pixels 0.5 in blue only."""
+        vx = (full[1] / 16.0 + 0.5) * mask
+        vy = (full[0] / 16.0 + 0.5) * mask
+        bx = vx + (1.0 - mask) * 0.5
+        by = vy + (1.0 - mask) * 0.5
+        px = jnp.stack([vx, vx, bx])
+        py = jnp.stack([vy, vy, by])
+        return px, py
+
+    @jax.jit
+    def step(params, last_im, last_im_scaled, frame):
+        im = undist.undistort_image(frame, cal.K, cal.distortion)
+        em = ego.get_ego_motion(last_im, im, cal.K,
+                                max_points=cal.sfm.max_points,
+                                quality=cal.sfm.points_quality)
+        ratio = em.n_inliers.astype(jnp.float32) / jnp.maximum(
+            em.n_found.astype(jnp.float32), 1.0)
+        good = ratio >= cal.bad_image_threshold
+        R = jnp.where(good, em.R, jnp.eye(3, dtype=jnp.float32))
+        im_scaled = img_mod.scale(im, g.hImg, g.wImg)
+        warped = undist.remove_ego_motion(last_im_scaled, Khalf, R)
+        wmask = undist.remove_ego_motion(
+            jnp.ones((g.hImg, g.wImg, 1), jnp.float32), Khalf, R)[..., 0]
+
+        costs = model.costs(params, warped, im_scaled)
+        dist = jax.nn.softmax(-costs, axis=-1)
+        full_max = decode_assemble(dist, False)
+        full_mean = decode_assemble(dist, True)
+        # thresholded-extraction confidence mask (k=2, :358)
+        pm = flow_model.process_output(g, dist, process_full=True,
+                                       threshold=2.0)
+        H = dist.shape[0]
+        bh = math.ceil((g.hImg - H) / 2)
+        bw = math.ceil((g.wImg - dist.shape[1]) / 2)
+        mask = extract.enlarge_mask(wmask > 0.5, 2 * bh + 1, 2 * bw + 1)
+        mask = mask.astype(jnp.float32)
+        mask_entropy = pm.full_confidences * maskmiddle
+        # bad-frame zeroing (:293-299)
+        mask = jnp.where(good, mask, 0.0)
+        mask_entropy = jnp.where(good, mask_entropy, 0.0)
+        full_max_m = full_max * mask[None]
+        full_mean_m = full_mean * mask[None]
+        mask_total = mask * mask_entropy
+        flow_pp = postprocess.post_process_image(full_max_m, mask_total,
+                                                 args.post_win, "med")
+        flow_pp_mean = postprocess.post_process_image(
+            full_mean_m, mask_total, args.post_win, "med")
+
+        # radial depth panel from the postprocessed flow (:246-255)
+        rad, radconf = polar_ops.radial_depth_cartesian(
+            flow_pp, (Khalf[0, 2], Khalf[1, 2]), g.wImg / 2.0)
+        radconf = radconf * mask * mask_entropy
+        depth_rgb = polar_ops.depth2color((rad / 200.0) * radconf, radconf)
+        rad2, radconf2 = polar_ops.radial_depth_cartesian(
+            flow_pp_mean, (Khalf[0, 2], Khalf[1, 2]), g.wImg / 2.0)
+        radconf2 = radconf2 * mask * mask_entropy
+        depth_rgb2 = polar_ops.depth2color((rad2 / 200.0) * radconf2, radconf2)
+
+        # panel assembly ON DEVICE: 3 rows x 3 cols
+        px, py = flow_row(full_max_m, mask)
+        px2, py2 = flow_row(full_mean_m, mask)
+        row0 = jnp.concatenate([jnp.transpose(last_im_scaled, (2, 0, 1)),
+                                jnp.transpose(warped, (2, 0, 1)),
+                                jnp.transpose(im_scaled, (2, 0, 1))], axis=2)
+        row1 = jnp.concatenate([px, py, depth_rgb], axis=2)
+        row2 = jnp.concatenate([px2, py2, depth_rgb2], axis=2)
+        panel = jnp.concatenate([row0, row1, row2], axis=1)
+        return im, im_scaled, jnp.clip(panel, 0.0, 1.0)
+
     loader = img_mod.ImageLoader(args.directory, cal.hImg, cal.wImg,
                                  args.first)
     os.makedirs(args.output_dir, exist_ok=True)
+    import jax.numpy as jnp
     first = loader.get_next_frame()
-    est.reset(first)
+    last_im = undist.undistort_image(jnp.asarray(first), cal.K,
+                                     cal.distortion)
+    last_im_scaled = img_mod.scale(last_im, geom.hImg, geom.wImg)
     k = 0
     while True:
         frame = loader.get_next_frame()
         if frame is None or (args.num and k >= args.num):
             break
-        im, xflow, mask = est.next_frame_depth(frame)
-        flow = np.stack([np.zeros_like(xflow), xflow])
-        flow_pp = np.asarray(postprocess.post_process_image(
-            jnp.asarray(flow), jnp.asarray(mask), args.post_win, "med"))
-        hsv = flow2hsv(geom, flow_pp)
-        # x-flow depth (ardrone computeDepthMapFromFlow rule)
-        W = xflow.shape[1]
-        cx = W / 2.0
-        j = np.arange(W)[None, :]
-        d = np.where(np.abs(flow_pp[1]) < 1.1, 100.0,
-                     np.abs(j - cx) / np.maximum(np.abs(flow_pp[1]), 0.1))
-        depth_rgb = np.asarray(polar_ops.depth2color(
-            jnp.asarray(np.clip(d / 100.0, 0, 1).astype(np.float32)),
-            jnp.asarray(mask)))
-        panel = np.concatenate([im.transpose(2, 0, 1), hsv, depth_rgb], axis=2)
-        save_image(os.path.join(args.output_dir, f"{k:09d}.png"), panel)
+        last_im, last_im_scaled, panel = step(params, last_im,
+                                              last_im_scaled,
+                                              jnp.asarray(frame))
+        save_image(os.path.join(args.output_dir, f"{k:09d}.png"),
+                   np.asarray(panel))
         k += 1
     ok = export_video(args.output_dir, os.path.join(args.output_dir, "out.mp4"),
                       fps=10)
@@ -268,7 +373,7 @@ def main(argv=None) -> int:
     v.add_argument("directory")
     v.add_argument("--calibration", default="ardrone")
     v.add_argument("--output-dir", default="video_out")
-    v.add_argument("--post-win", type=int, default=5)
+    v.add_argument("--post-win", type=int, default=3)
     v.add_argument("--first", type=int, default=0)
     v.add_argument("--num", type=int, default=0)
 

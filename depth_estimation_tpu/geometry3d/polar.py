@@ -153,6 +153,31 @@ def flow2depth(h_img: int, w_img: int, flow: jnp.ndarray, center,
     return depth / infty, confs
 
 
+def radial_depth_cartesian(flow: jnp.ndarray, center,
+                           infty: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cartesian radial depth — the offline video pipeline's ``radial()``
+    (/root/reference/test_opticalflow.lua:143-216, inline C :150-189).
+    flow: (2, H, W) (dy, dx). Per pixel p (relative to center):
+    |flow| >= 0.2 -> depth = min(|p| / |flow|, infty), confident iff
+    p_x * dx + dy * dy > 0.125 (reproduced exactly as written in the C —
+    the y term multiplies dy by itself); |flow| < 0.2 -> (infty, confident).
+    Returns (depth, conf)."""
+    H, W = flow.shape[1], flow.shape[2]
+    j = jnp.arange(W, dtype=jnp.float32)[None, :]
+    i = jnp.arange(H, dtype=jnp.float32)[:, None]
+    px = j - center[0]
+    py = i - center[1]
+    pn = jnp.sqrt(px * px + py * py)
+    dy, dx = flow[0], flow[1]
+    dn = jnp.sqrt(dx * dx + dy * dy)
+    moving = dn >= 0.2
+    depth = jnp.where(moving, jnp.minimum(pn / jnp.maximum(dn, 0.2), infty),
+                      infty)
+    conf = jnp.where(moving, (px * dx + dy * dy > 0.125).astype(flow.dtype),
+                     1.0)
+    return depth, conf
+
+
 def saturate(t: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
     return jnp.clip(t, lo, hi)
 

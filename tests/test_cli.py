@@ -127,3 +127,34 @@ def test_v2_cli_end_to_end(tmp_path):
     assert rc == 0
     import os
     assert os.path.exists(tmp_path / "mv2" / "e0")
+
+
+def test_video_pipeline_end_to_end(tmp_path):
+    """Full offline video pipeline (test_opticalflow.lua stage list) on a
+    small synthetic sequence: panels with all three rows written, no op in
+    ops/extract left uncalled."""
+    from PIL import Image
+    import jax
+
+    from depth_estimation_tpu.geometry import Geometry, Learning
+    from depth_estimation_tpu.models.flow import FlowModel
+    from depth_estimation_tpu.models import io as model_io
+    from depth_estimation_tpu.cli import tools
+
+    root = make_sequence(tmp_path, n=4, h=64, w=80, dx=2)
+    g = Geometry(hImg=64, wImg=80, layers=((3, 5, 5, 8),), maxh=6, maxw=6)
+    m = FlowModel(g)
+    params = m.init(jax.random.PRNGKey(0))
+    mdir = str(tmp_path / "model")
+    model_io.save_model(mdir, g, Learning(), params)
+
+    out = str(tmp_path / "video_out")
+    rc = tools.main(["video", mdir, root,
+                     "--calibration", "test64x80",
+                     "--output-dir", out, "--num", "3"])
+    assert rc == 0
+    pngs = sorted(f for f in os.listdir(out) if f.endswith(".png"))
+    assert len(pngs) == 3
+    panel = np.asarray(Image.open(os.path.join(out, pngs[0])))
+    # 3 rows x 3 cols of 64x80 panels
+    assert panel.shape[0] == 3 * 64 and panel.shape[1] == 3 * 80

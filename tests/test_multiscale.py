@@ -135,3 +135,29 @@ def test_fovea_matches_prepare_target():
         py, px = codecs.x2yx_multi_scalar(g, pred)
         ty, tx = codecs.x2yx_multi_scalar(g, int(it))
         assert (py, px) == (ty, tx), ((dy_c, dx_c), (py, px), (ty, tx))
+
+
+def test_decode_full_matches_forward_full_argmax():
+    """decode_full must equal the argmax (with middle tie-break) and max
+    probability of the full multiscale distribution."""
+    MultiscaleFlowModel = ms.MultiscaleFlowModel
+    g = Geometry(hImg=64, wImg=80, layers=((3, 6, 6, 4),),
+                 maxh=4, maxw=4, multiscale=True, ratios=(1, 2, 4))
+    m = MultiscaleFlowModel(g)
+    params = m.init(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(4)
+    img1 = jnp.asarray(rng.rand(64, 80, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(64, 80, 3), jnp.float32)
+
+    dist = np.asarray(m.forward_full(params, img1, img2))
+    mid = codecs.middle_index(g)
+    best = np.argmax(dist, axis=-1)
+    bm = np.max(dist, axis=-1)
+    tie = dist[..., mid] >= bm
+    want_idx = np.where(tie, mid, best)
+    want_pmax = np.where(tie, dist[..., mid], bm) / dist.sum(-1)
+
+    idx, pmax = m.decode_full(params, img1, img2)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_allclose(np.asarray(pmax), want_pmax, rtol=1e-4,
+                               atol=1e-6)

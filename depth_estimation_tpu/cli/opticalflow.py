@@ -64,8 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-fi", "--first-image", type=int, default=0)
     p.add_argument("-d", "--delta", type=int, default=1)
     p.add_argument("-ni", "--num-input-images", type=int, default=10)
-    p.add_argument("-mc", "--motion-correction", default=None,
-                   choices=(None, "mc", "sfm"))
+    p.add_argument("-mc", "--motion-correction", default="sfm",
+                   choices=("none", "mc", "sfm"),
+                   help="rectification backend: sfm (essential-matrix ego-"
+                        "motion, the documented runs' default), mc (4-DoF "
+                        "RANSAC homography, motion_correction.lua), none")
     p.add_argument("-gt", "--groundtruth", default="cross-correlation",
                    choices=("cross-correlation", "liu"))
     p.add_argument("-nci", "--n-channels-in", type=int, default=3)
@@ -155,6 +158,13 @@ def main(argv=None) -> int:
 
     geom = geometry_from_args(args)
     lrn = learning_from_args(args)
+    if geom.cascad_trainable_weights:
+        print("WARNING: -mstw enables the CascadingAddTable beta path, which "
+              "the reference ships commented out of its forward "
+              "(CascadingAddTable.lua:29,46,62). At the reference init "
+              "(weights -1) the fused scores are negative, so the Log2+NLL "
+              "head saturates and the betas receive zero gradient — the "
+              "design's own pathology, reproduced faithfully. See PARITY.md.")
     cal = calmod.PRESETS[args.calibration]
     print(model_io.model_dir_name(geom, lrn))
 
@@ -162,7 +172,9 @@ def main(argv=None) -> int:
     raw = ds_mod.load_data_optical_flow(
         geom, cal, args.root_directory, args.num_input_images,
         first=args.first_image, delta=args.delta,
-        cache_root=args.root_directory)
+        cache_root=args.root_directory,
+        motion_correction=(None if args.motion_correction == "none"
+                           else args.motion_correction))
     images = raw["warped_images"]
     currents = raw["images"]
     flows = raw["flow"]

@@ -89,13 +89,108 @@ def load_rectified_pair(
                          flow, conf, True)
 
 
+def load_mc_pair(
+    geom: Geometry, cal: Calibration, prev: np.ndarray, img: np.ndarray,
+    cache_root: Optional[str] = None, name: str = "",
+    compute_gt: bool = True, n_track_points: int = 200,
+) -> RectifiedPair:
+    """4-DoF homography rectification backend (trainer ``-mc mc``).
+
+    The reference's mc data path (loadRectifiedImageOpticalFlow,
+    /root/reference/groundtruth_opticalflow.lua:197-250) reads offline
+    ``rectified_images/`` produced by motion_correction()
+    (/root/reference/motion_correction.lua:243-258): GoodFeaturesToTrack
+    (count=200) + PyrLK + lsq_trans_ransac + WarpAffine. As shipped that
+    loader hard-errors (``error("cf code")`` :235) on the acknowledged bug
+    that the *second* image was the one being corrected (TODO :234). We
+    implement the intended semantics inline: fit the 4-DoF model from the
+    current frame back to the previous one and warp the PREVIOUS frame into
+    the current frame's coordinates, so the output pair has the same
+    orientation as the sfm backend (PARITY.md documents the deviation).
+    """
+    from ..geometry3d import egomotion as mc_ego
+
+    h, w = geom.hImg, geom.wImg
+    prev_s = scale(jnp.asarray(prev), h, w)
+    img_s = scale(jnp.asarray(img), h, w)
+    # features on the previous frame, tracked forward to the current frame.
+    # lsq_trans builds the warp that UNDOES the fitted motion (H maps
+    # out-frame coords -> in-frame coords), so fitting prev -> cur yields H:
+    # cur coords -> prev coords, the backward warp that rectifies prev.
+    pts, pvalid = mc_ego.good_features_to_track(
+        jnp.asarray(prev_s), n_track_points, cal.sfm.points_quality)
+    pts_cur, status = mc_ego.track_lk(prev_s, img_s, pts)
+    valid = np.asarray(pvalid & status)
+    pts_np = np.asarray(pts)
+    prev_np = np.asarray(pts_cur)
+    n_valid = int(valid.sum())
+    if n_valid < 8:
+        z = np.zeros((h, w), np.float32)
+        return RectifiedPair(np.asarray(prev_s), np.asarray(img_s), z,
+                             None, None, False)
+    # static shapes for the jitted RANSAC: repeat valid points into the
+    # invalid slots instead of dynamically shrinking the array
+    sel = np.where(valid)[0]
+    fill = sel[np.arange(n_track_points) % n_valid]
+    idx = np.where(valid, np.arange(n_track_points), fill)
+    H, inliers = mc_ego.lsq_trans_ransac(
+        jnp.asarray(pts_np[idx]), jnp.asarray(prev_np[idx]), w / 2, h / 2)
+    if float(inliers) / n_track_points < cal.bad_image_threshold:
+        z = np.zeros((h, w), np.float32)
+        return RectifiedPair(np.asarray(prev_s), np.asarray(img_s), z,
+                             None, None, False)
+    warped = mc_ego.warp_affine(prev_s, H)
+    ones = jnp.ones((h, w), jnp.float32)
+    mask = np.asarray(mc_ego.warp_affine(ones, H) > 0.5, np.float32)
+    flow = conf = None
+    if compute_gt:
+        if cache_root is not None and name:
+            fy, fx, conf = gt_mod.cached_exhaustive_flow(
+                cache_root, geom, 1, name + "_mc", warped, img_s)
+        else:
+            fy, fx, conf = gt_mod.exhaustive_flow(geom, warped, img_s)
+        flow = np.floor(np.stack([fy, fx]) + 0.5).astype(np.float32)
+    return RectifiedPair(np.asarray(warped), np.asarray(img_s), mask,
+                         flow, conf, True)
+
+
+def load_plain_pair(
+    geom: Geometry, cal: Calibration, prev: np.ndarray, img: np.ndarray,
+    cache_root: Optional[str] = None, name: str = "",
+    compute_gt: bool = True,
+) -> RectifiedPair:
+    """No rectification (trainer without -mc): raw scaled consecutive frames
+    (loadImageOpticalFlow, /root/reference/groundtruth_opticalflow.lua:156-195)."""
+    h, w = geom.hImg, geom.wImg
+    prev_s = np.asarray(scale(jnp.asarray(prev), h, w))
+    img_s = np.asarray(scale(jnp.asarray(img), h, w))
+    mask = np.ones((h, w), np.float32)
+    flow = conf = None
+    if compute_gt:
+        if cache_root is not None and name:
+            fy, fx, conf = gt_mod.cached_exhaustive_flow(
+                cache_root, geom, 1, name + "_raw", prev_s, img_s)
+        else:
+            fy, fx, conf = gt_mod.exhaustive_flow(geom, prev_s, img_s)
+        flow = np.floor(np.stack([fy, fx]) + 0.5).astype(np.float32)
+    return RectifiedPair(prev_s, img_s, mask, flow, conf, True)
+
+
+_PAIR_LOADERS = {"sfm": load_rectified_pair, "mc": load_mc_pair,
+                 None: load_plain_pair}
+
+
 def load_data_optical_flow(
     geom: Geometry, cal: Calibration, directory: str, n_images: int,
     first: int = 0, delta: int = 1, cache_root: Optional[str] = None,
+    motion_correction: Optional[str] = "sfm",
 ) -> Dict[str, list]:
     """Dataset assembly (loadDataOpticalFlowCCLiu,
     /root/reference/groundtruth_opticalflow.lua:350-413): consecutive frames
-    from ``directory/images/``, SFM-rectified, with GT flow per pair."""
+    from ``directory/images/``, rectified by the selected backend
+    (``motion_correction``: 'sfm' | 'mc' | None — the trainer's -mc flag,
+    :370-413), with GT flow per pair."""
+    pair_loader = _PAIR_LOADERS[motion_correction]
     loader = ImageLoader(directory, cal.hImg, cal.wImg, first)
     raw = {"images": [], "warped_images": [], "masks": [], "flow": []}
     prev = loader.get_next_frame()
@@ -105,8 +200,8 @@ def load_data_optical_flow(
         img = loader.get_next_frame()
         if img is None:
             break
-        pair = load_rectified_pair(geom, cal, prev, img,
-                                   cache_root, f"{first + k * delta:09d}")
+        pair = pair_loader(geom, cal, prev, img,
+                           cache_root, f"{first + k * delta:09d}")
         raw["images"].append(pair.image)
         raw["warped_images"].append(pair.prev_warped)
         raw["masks"].append(pair.mask)

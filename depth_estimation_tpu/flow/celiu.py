@@ -140,6 +140,68 @@ def warp_image(im1: jnp.ndarray, im2: jnp.ndarray,
     return jnp.where(oob[..., None], im1, warped)
 
 
+def _hermite(t: jnp.ndarray):
+    """Cubic Hermite basis (h00, h10, h01, h11)(t) — the closed form of the
+    reference's BicubicCoeff matrix (Image.h:2375-2410)."""
+    t2 = t * t
+    t3 = t2 * t
+    return (2 * t3 - 3 * t2 + 1, t3 - 2 * t2 + t,
+            -2 * t3 + 3 * t2, t3 - t2)
+
+
+def warp_image_bicubic(im1: jnp.ndarray, im2: jnp.ndarray,
+                       vx: jnp.ndarray, vy: jnp.ndarray) -> jnp.ndarray:
+    """Bicubic Hermite warp with im1 fallback and [0, 1] threshold —
+    Image::warpImageBicubicRef (Image.h:2464-2472 derivative images with
+    filter [-0.5, 0, 0.5]; :2500-2572 Hermite patch evaluation) followed by
+    warpIm2.threshold() (OpticalFlow.cpp:744-746). The reference's
+    coefficient matrix a[4][4] is the textbook Hermite-patch solve; here it
+    is evaluated in the separable basis-product form (identical values)."""
+    H, W = im1.shape[0], im1.shape[1]
+    d = np.asarray([-0.5, 0.0, 0.5], np.float32)
+    fx = _hfilter(im2, d)
+    fy = _vfilter(im2, d)
+    fxy = _vfilter(fx, d)
+
+    j = jnp.arange(W, dtype=jnp.float32)[None, :]
+    i = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = j + vx
+    y = i + vy
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    dx = (x - x0)[..., None]
+    dy = (y - y0)[..., None]
+    x0c = jnp.clip(x0, 0, W - 1)
+    x1c = jnp.clip(x0 + 1, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y0 + 1, 0, H - 1)
+
+    hx = _hermite(dx)
+    hy = _hermite(dy)
+
+    def corner(yy, xx):
+        return (im2[yy, xx], fx[yy, xx], fy[yy, xx], fxy[yy, xx])
+
+    out = jnp.zeros_like(im1)
+    # corners in (x index, y index) order: (0,0), (1,0), (0,1), (1,1)
+    for ix, xx in enumerate((x0c, x1c)):
+        for iy, yy in enumerate((y0c, y1c)):
+            f, gx, gy, gxy = corner(yy, xx)
+            # basis: value/deriv pair per axis — h0*/h1* select the corner
+            bxv = hx[0] if ix == 0 else hx[2]
+            bxd = hx[1] if ix == 0 else hx[3]
+            byv = hy[0] if iy == 0 else hy[2]
+            byd = hy[1] if iy == 0 else hy[3]
+            out = out + (bxv * byv * f + bxd * byv * gx
+                         + bxv * byd * gy + bxd * byd * gxy)
+    oob = (x < 0) | (x > W - 1) | (y < 0) | (y > H - 1)
+    out = jnp.where(oob[..., None], im1, out)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+_WARPERS = {"bilinear": warp_image, "bicubic": warp_image_bicubic}
+
+
 # ---------------------------------------------------------------------------
 # pyramid and features
 # ---------------------------------------------------------------------------
@@ -191,6 +253,63 @@ def im2feature(img: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Gaussian-mixture noise model (NoiseModel.h / Stochastic.h)
+# ---------------------------------------------------------------------------
+
+def gaussian_mixture_init(n_channels: int):
+    """Per-channel 2-component mixture (inlier sigma, outlier beta) with the
+    reference's defaults alpha=0.95, sigma=0.05, beta=0.5
+    (/root/reference/celiu/mex/NoiseModel.h:25-36)."""
+    return (jnp.full((n_channels,), 0.95, jnp.float32),
+            jnp.full((n_channels,), 0.05, jnp.float32),
+            jnp.full((n_channels,), 0.5, jnp.float32))
+
+
+def _gm_gaussian(t2: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """GaussianMixture::Gaussian (NoiseModel.h:112-118):
+    exp(-x / (2 s^2)) / (2 pi s); t2 broadcast against per-channel s."""
+    return jnp.exp(-t2 / (2.0 * s * s)) / (2.0 * math.pi * s)
+
+
+def gmm_psi(temp: jnp.ndarray, gm) -> jnp.ndarray:
+    """Data weight under the GMixture noise model
+    (OpticalFlow.cpp:296-305): psi = (p1/(2 sigma^2) + p2/(2 beta^2)) /
+    (p1 + p2) with p1 = N(t^2; sigma) alpha, p2 = N(t^2; beta) (1-alpha)."""
+    alpha, sigma, beta = gm
+    t2 = temp * temp
+    p1 = _gm_gaussian(t2, sigma) * alpha
+    p2 = _gm_gaussian(t2, beta) * (1.0 - alpha)
+    num = p1 / (2.0 * sigma * sigma) + p2 / (2.0 * beta * beta)
+    return num / jnp.maximum(p1 + p2, 1e-30)
+
+
+def est_gaussian_mixture(im1f: jnp.ndarray, warp: jnp.ndarray, gm,
+                         prior: float = 0.9, n_iters: int = 3):
+    """3-iteration EM re-estimate of the mixture after each warp
+    (OpticalFlow::estGaussianMixture, OpticalFlow.cpp:764-815), with the
+    reference's regularized M-step: alpha and beta are blended toward the
+    0.95 / 0.3 priors with weight ``prior``."""
+    alpha, sigma, beta = gm
+    t2 = (im1f - warp) ** 2                      # (H, W, C)
+    for _ in range(n_iters):
+        w1 = _gm_gaussian(t2, sigma) * alpha     # E step
+        w2 = _gm_gaussian(t2, beta) * (1.0 - alpha)
+        tot = jnp.maximum(w1 + w2, 1e-30)
+        w1, w2 = w1 / tot, w2 / tot
+        total1 = w1.sum(axis=(0, 1))
+        total2 = w2.sum(axis=(0, 1))
+        # M step (regularized, :805-811)
+        alpha = total1 / jnp.maximum(total1 + total2, 1e-30) * (1 - prior) \
+            + 0.95 * prior
+        sigma = jnp.sqrt((w1 * t2).sum(axis=(0, 1))
+                         / jnp.maximum(total1, 1e-30))
+        beta = jnp.sqrt((w2 * t2).sum(axis=(0, 1))
+                        / jnp.maximum(total2, 1e-30)) * (1 - prior) \
+            + 0.3 * prior
+    return alpha, sigma, beta
+
+
+# ---------------------------------------------------------------------------
 # the IRLS + red-black SOR solver for one pyramid level
 # ---------------------------------------------------------------------------
 
@@ -227,9 +346,14 @@ def _nsum(f: jnp.ndarray, w_w, w_e, w_n, w_s) -> jnp.ndarray:
 
 
 def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
-                    n_outer: int, n_inner: int, n_sor: int):
+                    n_outer: int, n_inner: int, n_sor: int,
+                    noise_model: str = "lap", gm=None,
+                    interpolation: str = "bilinear"):
     """One pyramid level of IRLS (OpticalFlow::SmoothFlowSOR,
-    OpticalFlow.cpp:194-452), red-black SOR inside."""
+    OpticalFlow.cpp:194-452), red-black SOR inside. ``noise_model``:
+    'lap' (reference default, :18) or 'gmm' (GMixture branch, :296-305);
+    ``interpolation``: 'bilinear' (default, :17) or 'bicubic'
+    (warpImageBicubicRef + threshold, :740-746)."""
     eps_phi = 1e-6
     eps_psi = 1e-6
     omega = 1.8
@@ -251,10 +375,13 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
                                  + eps_phi)
 
             temp = imdt + imdx * du[..., None] + imdy * dv[..., None]
-            psi = 1.0 / (2.0 * jnp.sqrt(temp * temp + eps_psi))
-            # Laplacian-noise gate: channels whose estimated noise is ~0
-            # keep psi = 0 (OpticalFlow.cpp:332-338)
-            psi = psi * (lap_para >= 1e-20)
+            if noise_model == "gmm":
+                psi = gmm_psi(temp, gm)
+            else:
+                psi = 1.0 / (2.0 * jnp.sqrt(temp * temp + eps_psi))
+                # Laplacian-noise gate: channels whose estimated noise is ~0
+                # keep psi = 0 (OpticalFlow.cpp:332-338)
+                psi = psi * (lap_para >= 1e-20)
 
             # collapse = channel average (Image::collapse average mode)
             imdxy = jnp.mean(psi * imdx * imdy, axis=-1)
@@ -297,14 +424,18 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
 
         u = u + du
         v = v + dv
-        warp = warp_image(im1f, im2f, u, v)
+        warp = _WARPERS[interpolation](im1f, im2f, u, v)
 
-        # estLaplacianNoise (OpticalFlow.cpp:817-855): per-channel mean |It|
-        diff = jnp.abs(im1f - warp)
-        valid = (diff > 0) & (diff < 1e6)
-        cnt = jnp.maximum(valid.sum(axis=(0, 1)), 1)
-        lap_para = (diff * valid).sum(axis=(0, 1)) / cnt
-    return u, v, warp, lap_para
+        if noise_model == "gmm":
+            gm = est_gaussian_mixture(im1f, warp, gm)
+        else:
+            # estLaplacianNoise (OpticalFlow.cpp:817-855): per-channel
+            # mean |It|
+            diff = jnp.abs(im1f - warp)
+            valid = (diff > 0) & (diff < 1e6)
+            cnt = jnp.maximum(valid.sum(axis=(0, 1)), 1)
+            lap_para = (diff * valid).sum(axis=(0, 1)) / cnt
+    return u, v, warp, lap_para, gm
 
 
 # ---------------------------------------------------------------------------
@@ -315,11 +446,14 @@ def coarse2fine_flow(
     im1: jnp.ndarray, im2: jnp.ndarray,
     alpha: float = 1.0, ratio: float = 0.5, min_width: int = 40,
     n_outer: int = 3, n_inner: int = 1, n_sor: int = 20,
+    noise_model: str = "lap", interpolation: str = "bilinear",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full Coarse2FineFlow (OpticalFlow.cpp:944-1015). Defaults are the mex
     entry point's (Coarse2FineTwoFrames.cpp:66-72). Returns (vx, vy, warped).
     The reference trainer's 'liu' GT uses alpha=0.005, ratio=0.75,
-    minWidth=30, 5/1/40 (/root/reference/groundtruth_opticalflow_celiu.lua:9-14)."""
+    minWidth=30, 5/1/40 (/root/reference/groundtruth_opticalflow_celiu.lua:9-14).
+    ``noise_model``: 'lap' | 'gmm'; ``interpolation``: 'bilinear' | 'bicubic'
+    (the solver's two compile-time switches, OpticalFlow.cpp:16-18)."""
     im1 = jnp.asarray(im1, jnp.float32)
     im2 = jnp.asarray(im2, jnp.float32)
     if im1.ndim == 2:
@@ -331,6 +465,7 @@ def coarse2fine_flow(
 
     n_ch = 3 if im1.shape[2] == 1 else (5 if im1.shape[2] == 3 else im1.shape[2])
     lap_para = jnp.full((n_ch,), 0.02, jnp.float32)
+    gm = gaussian_mixture_init(n_ch) if noise_model == "gmm" else None
 
     u = v = None
     warp = None
@@ -345,10 +480,13 @@ def coarse2fine_flow(
         else:
             u = imresize(u[..., None], h, w)[..., 0] * (1 / ratio)
             v = imresize(v[..., None], h, w)[..., 0] * (1 / ratio)
-            warp = warp_image(f1, f2, u, v)
-        u, v, warp, lap_para = smooth_flow_sor(
+            warp = _WARPERS[interpolation](f1, f2, u, v)
+        u, v, warp, lap_para, gm = smooth_flow_sor(
             f1, f2, warp, u, v, lap_para, alpha,
             n_outer + k, n_inner, n_sor + k * 3,
+            noise_model=noise_model, gm=gm, interpolation=interpolation,
         )
-    warped = jnp.clip(warp_image(im1, im2, u, v), 0.0, 1.0)
+    # final warp of the raw pair (OpticalFlow.cpp:1013-1014 uses
+    # warpFL/bicubic per the interpolation switch)
+    warped = jnp.clip(_WARPERS[interpolation](im1, im2, u, v), 0.0, 1.0)
     return u, v, warped

@@ -146,7 +146,9 @@ class Learning:
     /root/reference/opticalflow.lua:210-220)."""
 
     rate: float = 5e-3
-    rate_decay: float = 3e-3          # Torch optim.sgd learningRateDecay semantics
+    # Torch optim.sgd learningRateDecay semantics; default matches the
+    # reference CLI default (-lrd 5e-7, /root/reference/opticalflow.lua:47-48)
+    rate_decay: float = 5e-7
     weight_decay: float = 0.0
     n_epochs: int = 10
     # 'nll' on window logits | 'mse' on soft-argmax output | 'soft' = soft

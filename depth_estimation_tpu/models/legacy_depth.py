@@ -22,7 +22,10 @@ from ..ops.normalization import gaussian1d, _sep_conv_same
 
 
 def subtractive_normalization(img: jnp.ndarray, k: int = 15) -> jnp.ndarray:
-    """nn.SpatialSubtractiveNormalization with gaussian1D(k)."""
+    """nn.SpatialSubtractiveNormalization with gaussian1D(k).
+    img: (H, W, C) or batched (B, H, W, C)."""
+    if img.ndim == 4:
+        return jax.vmap(lambda x: subtractive_normalization(x, k))(img)
     f = gaussian1d(k)
     C = img.shape[-1]
     f = f / (f.sum() * C)

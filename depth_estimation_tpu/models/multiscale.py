@@ -95,6 +95,57 @@ def cascade(geom: Geometry, dists: List[jnp.ndarray],
     return out
 
 
+def cascade_beta(geom: Geometry, dists: List[jnp.ndarray],
+                 betas: jnp.ndarray, single_beta: bool = False
+                 ) -> List[jnp.ndarray]:
+    """Trainable-beta cascade — the reference's Mul2/Power design
+    (CascadingAddTable.lua:24-63): out[i] = (w1 * in[i] + w2 *
+    gather(out[i+1])) ** pow with pow = -1 / sqrt(w1 * w2) — the
+    updateNormalizers rule (:93-98), applied there AFTER each SGD step, so
+    pow is a constant w.r.t. the gradient (stop_gradient here). Weights
+    initialise to -beta = -1 (:23,27-45); ``single_beta`` shares one weight
+    per link (mul2 = mul1:clone, :39-40). NOTE: the reference ships with
+    this path commented out of the forward (:29,46,62) — `cascade` above is
+    the shipped behavior; this is the intended trainable variant, enabled by
+    Geometry.cascad_trainable_weights (trainer -mstw/-mssb)."""
+    n = len(geom.ratios)
+    assert n >= 2
+    out: List = [None] * n
+    out[n - 1] = dists[n - 1]
+    for i in range(n - 2, -1, -1):
+        if single_beta:
+            w1 = w2 = betas[i]
+        else:
+            w1, w2 = betas[i, 0], betas[i, 1]
+        r = geom.ratios[i + 1] // geom.ratios[i]
+        M = jnp.asarray(_cascade_onehot(geom.maxh, geom.maxw, r))
+        s = w1 * dists[i] + w2 * (out[i + 1] @ M)
+        prod = jax.lax.stop_gradient(w1 * w2)
+        # sqrt of a negative product is NaN in the reference too; the tiny
+        # floor only guards the exactly-zero case
+        pw = -1.0 / jnp.sqrt(jnp.maximum(prod, 1e-12))
+        out[i] = jnp.power(s, pw)
+    return out
+
+
+def init_cascade_betas(geom: Geometry) -> jnp.ndarray:
+    """Initial Mul2 weights: -beta with beta=1 (CascadingAddTable.lua:23,38,44).
+    Shape (n_links,) when single_beta else (n_links, 2) [mul1, mul2]."""
+    n_links = len(geom.ratios) - 1
+    shape = (n_links,) if geom.single_beta else (n_links, 2)
+    return jnp.full(shape, -1.0, jnp.float32)
+
+
+def apply_cascade(geom: Geometry, params, dists: List[jnp.ndarray]
+                  ) -> List[jnp.ndarray]:
+    """Dispatch between the shipped (mean) cascade and the trainable-beta
+    variant, depending on Geometry flags and the params payload."""
+    if geom.cascad_trainable_weights:
+        return cascade_beta(geom, dists, params["cascade"]["betas"],
+                            geom.single_beta)
+    return cascade(geom, dists)
+
+
 # ---------------------------------------------------------------------------
 # Middle removal + band concatenation (the multiscale index layout)
 # ---------------------------------------------------------------------------
@@ -197,7 +248,10 @@ class MultiscaleFlowModel:
     def init(self, rng) -> dict:
         g = self.geometry
         dummy = jnp.zeros((g.hPatch2, g.wPatch2, g.in_channels), jnp.float32)
-        return self.filter.init(rng, dummy)
+        params = self.filter.init(rng, dummy)
+        if g.cascad_trainable_weights:
+            params = dict(params, cascade={"betas": init_cascade_betas(g)})
+        return params
 
     # -- per-scale matcher on an already-downsampled (padded) image pair ----
 
@@ -227,7 +281,7 @@ class MultiscaleFlowModel:
                 dist = jnp.repeat(jnp.repeat(dist, r, axis=0), r, axis=1)
                 dist = dist[: g.hImg, : g.wImg]
             dists.append(dist.reshape(g.hImg, g.wImg, -1))
-        fused = cascade(g, dists)
+        fused = apply_cascade(g, params, dists)
         out = middle_removal_concat(g, fused)
         return log_eps(out) if log else out
 
@@ -252,6 +306,8 @@ class MultiscaleFlowModel:
         """Stage 2 of the fast decode: per-scale match + softmax + cascade +
         middle-band WTA, all at each scale's own resolution (see decode_full)."""
         g = self.geometry
+        assert not g.cascad_trainable_weights, \
+            "staged decode implements the shipped linear cascade only"
         n = len(g.ratios)
         D = g.maxh * g.maxw
         mid_concat = codecs.middle_index(g)
@@ -356,6 +412,17 @@ class MultiscaleFlowModel:
         For peak throughput dispatch the two stages separately
         (``decode_full_staged``) — see features_pyramid for why.
         """
+        if self.geometry.cascad_trainable_weights:
+            # beta cascade is non-linear; materialize the distribution
+            g = self.geometry
+            out = self.forward_full(params, img1, img2, log=False)
+            mid = codecs.middle_index(g)
+            val = jnp.max(out, axis=-1)
+            am = jnp.argmax(out, axis=-1).astype(jnp.int32)
+            tie = out[..., mid] >= val
+            idx = jnp.where(tie, mid, am)
+            pmax = jnp.where(tie, out[..., mid], val) / jnp.sum(out, axis=-1)
+            return idx, pmax
         return self.decode_from_features(
             self.features_pyramid(params, img1, img2))
 
@@ -394,6 +461,6 @@ class MultiscaleFlowModel:
             costs = self._scale_costs(
                 params, avg_downsample(c1, r), avg_downsample(c2, r))
             dists.append(jax.nn.softmax(-costs, axis=-1).reshape(-1))
-        fused = cascade(g, dists)
+        fused = apply_cascade(g, params, dists)
         out = middle_removal_concat(g, fused)
         return log_eps(out) if log else out

@@ -131,3 +131,78 @@ def test_table_pair_and_debug_utils():
         f(jnp.asarray(-1.0))   # NaN raises
     with nan_debug(False):
         pass
+
+
+def test_bicubic_warp_exact_on_quadratics():
+    """Hermite bicubic with central-difference derivatives reproduces
+    quadratic images exactly under subpixel shifts (central differences are
+    exact for quadratics); bilinear does not. Pins warpImageBicubicRef
+    semantics (Image.h:2464-2572)."""
+    H, W = 24, 30
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    def quad(x, y):
+        # stays inside [0, 1] so the reference's threshold() is a no-op
+        return (0.0004 * x * x + 0.0006 * y * y + 0.0002 * x * y
+                + 0.002 * x + 0.004 * y)
+
+    img = quad(xx, yy)[..., None]
+    im2 = jnp.asarray(img)
+    sx, sy = 0.3, -0.4
+    vx = jnp.full((H, W), sx, jnp.float32)
+    vy = jnp.full((H, W), sy, jnp.float32)
+    out = np.asarray(celiu.warp_image_bicubic(im2, im2, vx, vy))[..., 0]
+    exact = quad(xx + sx, yy + sy)
+    inner = np.s_[3:-3, 3:-3]
+    np.testing.assert_allclose(out[inner], exact[inner], atol=1e-5)
+    bil = np.asarray(celiu.warp_image(im2, im2, vx, vy))[..., 0]
+    assert np.abs(bil[inner] - exact[inner]).max() > 1e-4  # bilinear is not exact
+
+
+def test_bicubic_warp_zero_flow_identity_and_oob():
+    rng = np.random.RandomState(3)
+    im1 = jnp.asarray(rng.rand(16, 20, 2).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(16, 20, 2).astype(np.float32))
+    z = jnp.zeros((16, 20), jnp.float32)
+    out = np.asarray(celiu.warp_image_bicubic(im1, im2, z, z))
+    np.testing.assert_allclose(out, np.asarray(im2), atol=1e-6)
+    # large flow -> out of range everywhere -> im1 fallback
+    big = jnp.full((16, 20), 100.0, jnp.float32)
+    out2 = np.asarray(celiu.warp_image_bicubic(im1, im2, big, big))
+    np.testing.assert_allclose(out2, np.clip(np.asarray(im1), 0, 1), atol=1e-6)
+
+
+def test_gmm_noise_model_flow_and_em():
+    """noise_model='gmm' (OpticalFlow.cpp:296-305 + estGaussianMixture
+    :764-815) recovers the same known shift as the Lap default, and the EM
+    update keeps the mixture parameters sane."""
+    rng = np.random.RandomState(4)
+    base = rng.rand(80, 96, 1).astype(np.float32)
+    base = np.asarray(celiu.gaussian_smooth(jnp.asarray(base), 1.5, 4))
+    dx = 2
+    im1 = base[:, 4:84]
+    im2 = base[:, 4 - dx:84 - dx]
+    u, v, _ = celiu.coarse2fine_flow(im1, im2, alpha=0.02, ratio=0.75,
+                                     min_width=20, n_outer=5, n_inner=1,
+                                     n_sor=40, noise_model="gmm")
+    inner_u = np.asarray(u)[12:-12, 12:-12]
+    assert abs(np.median(inner_u) - dx) < 0.3, np.median(inner_u)
+    # EM unit behavior: near-identical images -> inlier weight dominates
+    gm = celiu.gaussian_mixture_init(3)
+    f = jnp.asarray(rng.rand(20, 24, 3).astype(np.float32))
+    alpha, sigma, beta = celiu.est_gaussian_mixture(f, f + 0.01, gm)
+    a, s, b = np.asarray(alpha), np.asarray(sigma), np.asarray(beta)
+    assert (a > 0.9).all() and (s < 0.05).all() and np.isfinite(b).all()
+
+
+def test_bicubic_interpolation_option_end_to_end():
+    rng = np.random.RandomState(5)
+    base = rng.rand(60, 72, 1).astype(np.float32)
+    base = np.asarray(celiu.gaussian_smooth(jnp.asarray(base), 1.5, 4))
+    im1 = base[:, 4:64]
+    im2 = base[:, 2:62]
+    u, v, warped = celiu.coarse2fine_flow(im1, im2, alpha=0.02, ratio=0.75,
+                                          min_width=20, n_outer=4, n_inner=1,
+                                          n_sor=30, interpolation="bicubic")
+    inner_u = np.asarray(u)[10:-10, 10:-10]
+    assert abs(np.median(inner_u) - 2) < 0.3, np.median(inner_u)

@@ -158,3 +158,60 @@ def test_video_pipeline_end_to_end(tmp_path):
     panel = np.asarray(Image.open(os.path.join(out, pngs[0])))
     # 3 rows x 3 cols of 64x80 panels
     assert panel.shape[0] == 3 * 64 and panel.shape[1] == 3 * 80
+
+
+def test_legacy_depth_cli_end_to_end(tmp_path):
+    """Train the legacy depth classifier on a synthetic scene where depth
+    correlates with brightness, then run inference-on-image — the
+    depth_estimation.lua driver pair (:188-338 training, :340-404 -i path)."""
+    import numpy as np
+    from PIL import Image
+
+    h, w = 96, 128
+    root = tmp_path / "legacy"
+    os.makedirs(root / "images")
+    os.makedirs(root / "depths")
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    stripes = 0.5 + 0.4 * np.sin(2 * np.pi * (xx + yy) / 4.0)
+    for i in range(4):
+        # left half textured + near (depth 4), right half flat + far
+        # (depth 40) — texture, not brightness: the CNN's subtractive
+        # normalization removes DC offsets entirely
+        img = np.full((h, w), 0.5, np.float32)
+        img[:, : w // 2] = stripes[:, : w // 2]
+        img += rng.rand(h, w).astype(np.float32) * 0.05
+        arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "images" / f"{i:09d}.png")
+        xs = rng.randint(0, w, 60).astype(np.float32)
+        ys = rng.randint(0, h, 60).astype(np.float32)
+        depth = np.where(xs < w // 2, 4.0, 40.0).astype(np.float32)
+        np.savez(root / "depths" / f"{i:09d}.npz", x=xs, y=ys, depth=depth)
+
+    from depth_estimation_tpu.cli import depth_estimation
+    out = str(tmp_path / "legacy_model")
+    rc = depth_estimation.main([
+        "-rd", str(root), "-d", "1", "-ni", "3",
+        "-n", "160", "-m", "32", "-e", "8", "-nc", "2",
+        "-hi", str(h), "-wi", str(w), "-bs", "16",
+        "-o", out, "-i", "0",
+    ])
+    assert rc == 0
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["n_classes"] == 2 and meta["cut_depth"] > 0
+    assert os.path.exists(os.path.join(out, "params.msgpack"))
+    z = np.load(os.path.join(out, "depth_classes_000000000.npz"))
+    cm = z["classes"]
+    assert cm.ndim == 2
+    # the class map must separate near (left) from far (right)
+    left = (cm[:, : cm.shape[1] // 2] == 0).mean()
+    right = (cm[:, cm.shape[1] // 2:] == 0).mean()
+    assert left > 0.7 and right < 0.3, (left, right)
+    # reload path: -lw skips training and can re-run inference
+    rc2 = depth_estimation.main([
+        "-rd", str(root), "-d", "1", "-ni", "3",
+        "-hi", str(h), "-wi", str(w),
+        "-o", out, "-lw", out, "-i", "1",
+    ])
+    assert rc2 == 0
+    assert os.path.exists(os.path.join(out, "depth_classes_000000001.npz"))

@@ -177,3 +177,56 @@ def test_scale_np_matches_device_scale():
     b8 = scale_np(u8, 18, 32)
     a8 = np.asarray(scale(jnp.asarray(u8.astype(np.float32)), 18, 32))
     assert np.abs(b8.astype(np.float32) - a8).max() <= 1.0
+
+
+def test_load_mc_pair_recovers_affine_motion():
+    """The -mc backend (load_mc_pair) must align a previous frame related to
+    the current one by an in-plane rotation + translation — exactly the
+    4-DoF model of motion_correction.lua."""
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    from depth_estimation_tpu.geometry3d.egomotion import warp_affine
+
+    h, w = 96, 128
+    rng = np.random.RandomState(3)
+    cur = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(h, w, 3).astype(np.float32)), 1.0, 3))
+    # prev(p) = cur(H_pc p): rotate 0.02 rad about the center + shift
+    th = 0.02
+    c, s = math.cos(th), math.sin(th)
+    cx, cy = w / 2, h / 2
+    H_pc = np.array([
+        [c, -s, cx - c * cx + s * cy + 2.0],
+        [s, c, cy - s * cx - c * cy - 1.0],
+    ], np.float32)
+    prev = np.asarray(warp_affine(jnp.asarray(cur), jnp.asarray(H_pc)))
+
+    g = Geometry(hImg=h, wImg=w, layers=((3, 5, 5, 8),),
+                 maxh=6, maxw=6, maxhGT=6, maxwGT=6,
+                 hKernelGT=5, wKernelGT=5)
+    cal = small_cal(h, w)
+    pair = datasets.load_mc_pair(g, cal, prev, cur, compute_gt=False)
+    assert pair.good
+    inner = np.s_[12:-12, 12:-12]
+    m = pair.mask[inner] > 0.5
+    err_warped = np.abs(pair.prev_warped[inner] - pair.image[inner])[m].mean()
+    err_raw = np.abs(prev[inner] - cur[inner])[m].mean()
+    assert err_warped < 0.25 * err_raw, (err_warped, err_raw)
+    assert err_warped < 0.02
+
+
+def test_load_plain_pair_and_backend_dispatch(tmp_path):
+    g = Geometry(hImg=64, wImg=80, layers=((3, 5, 5, 8),),
+                 maxh=6, maxw=6, maxhGT=6, maxwGT=6,
+                 hKernelGT=5, wKernelGT=5)
+    cal = small_cal(64, 80)
+    root = make_sequence(tmp_path, n=3)
+    raw = datasets.load_data_optical_flow(g, cal, root, 3,
+                                          motion_correction=None)
+    assert len(raw["flow"]) == 2 and raw["flow"][0] is not None
+    # plain pairs: masks are all-ones, images are the raw scaled frames
+    assert all(m.min() == 1.0 for m in raw["masks"])
+    # pure 2 px/frame pan (crop window moves right -> scene shifts left):
+    # uncorrected GT x-flow is exactly -2 everywhere in the interior
+    f = raw["flow"][0]
+    inner = f[1][20:-20, 20:-20]
+    assert (inner == -2.0).all()

@@ -161,3 +161,84 @@ def test_decode_full_matches_forward_full_argmax():
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
     np.testing.assert_allclose(np.asarray(pmax), want_pmax, rtol=1e-4,
                                atol=1e-6)
+
+
+def test_cascade_beta_matches_hand_computed():
+    """Trainable-beta cascade (the commented-out Mul2/Power design,
+    /root/reference/CascadingAddTable.lua:24-63,93-98): recursive
+    out[i] = (w1 in[i] + w2 gather(out[i+1])) ** (-1/sqrt(w1 w2))."""
+    g = make_geometry((1, 2, 4))
+    rng = np.random.RandomState(1)
+    n = len(g.ratios)
+    D = g.maxh * g.maxw
+    dists = [jnp.asarray(rng.rand(3, D).astype(np.float32) + 0.1)
+             for _ in range(n)]
+    betas = jnp.asarray([[1.0, 4.0], [0.5, 2.0]], jnp.float32)
+    out = ms.cascade_beta(g, dists, betas)
+
+    def gather_np(d, r):
+        M = ms._cascade_onehot(g.maxh, g.maxw, r)
+        return np.asarray(d) @ M
+
+    exp = [None] * n
+    exp[n - 1] = np.asarray(dists[n - 1])
+    for i in range(n - 2, -1, -1):
+        w1, w2 = float(betas[i, 0]), float(betas[i, 1])
+        r = g.ratios[i + 1] // g.ratios[i]
+        s = w1 * np.asarray(dists[i]) + w2 * gather_np(exp[i + 1], r)
+        exp[i] = np.power(s, -1.0 / math.sqrt(w1 * w2))
+    for i in range(n):
+        np.testing.assert_allclose(np.asarray(out[i]), exp[i],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_cascade_beta_reference_init_is_reciprocal():
+    """With the reference init (all weights -beta = -1, pow = -1) the link
+    reduces to out0 = -1/(d0 + gather(d1))."""
+    g = make_geometry((1, 2))
+    rng = np.random.RandomState(2)
+    D = g.maxh * g.maxw
+    d0 = jnp.asarray(rng.rand(5, D).astype(np.float32) + 0.1)
+    d1 = jnp.asarray(rng.rand(5, D).astype(np.float32) + 0.1)
+    out = ms.cascade_beta(g, [d0, d1], ms.init_cascade_betas(g))
+    M = ms._cascade_onehot(g.maxh, g.maxw, 2)
+    exp = -1.0 / (np.asarray(d0) + np.asarray(d1) @ M)
+    np.testing.assert_allclose(np.asarray(out[0]), exp, rtol=2e-5)
+
+
+@pytest.mark.parametrize("single_beta", [False, True])
+def test_trainable_beta_model_gradients(single_beta):
+    """-mstw/-mssb end-to-end: init grows a cascade collection, the fovea
+    forward consumes it, and gradients reach the betas."""
+    import dataclasses
+    g = dataclasses.replace(make_geometry((1, 2)),
+                            cascad_trainable_weights=True,
+                            single_beta=single_beta)
+    model = ms.MultiscaleFlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+    assert "cascade" in params
+    expect_shape = (1,) if single_beta else (1, 2)
+    assert params["cascade"]["betas"].shape == expect_shape
+    rng = np.random.RandomState(3)
+    img1 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3).astype(np.float32))
+    yc = g.hImg // 2
+    xc = g.wImg // 2
+
+    def loss(p):
+        out = model.forward_fovea(p, img1, img2, yc, xc, log=False)
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(params)
+    gb = np.asarray(grads["cascade"]["betas"])
+    assert np.isfinite(gb).all() and (np.abs(gb) > 0).any(), gb
+    # filter still gets gradients too
+    gleaf = jax.tree.leaves(grads["params"])
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in gleaf)
+    # decode fallback path runs and agrees with forward_full argmax/max
+    idx, pmax = model.decode_full(params, img1, img2)
+    full = model.forward_full(params, img1, img2, log=False)
+    vmax = np.asarray(jnp.max(full, axis=-1))
+    np.testing.assert_allclose(
+        np.take_along_axis(np.asarray(full), np.asarray(idx)[..., None],
+                           -1)[..., 0], vmax, rtol=1e-5)

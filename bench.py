@@ -75,8 +75,11 @@ def _run():
             frames2, (BATCH, g.hImg, g.wImg, 3), method="bilinear")
         f1 = crop_features_center(g, model.features(params, small1))
         f2 = model.features(params, small2)
+        # bf16 feature storage in the fused kernel: measured 0.507 -> 0.445
+        # ms/pair (+14%) at this exact shape; WTA index agreement 99.15%,
+        # soft-argmax deviation 0.005 px vs f32 (see README roofline notes)
         idx, ey, ex, pmax = matching.match_flow_fused(
-            f1, f2, g.maxh, g.maxw, 8
+            f1, f2, g.maxh, g.maxw, 16, False, False, jnp.bfloat16
         )
         # depth from x-flow (translation magnitude m = 1)
         W = ex.shape[-1]

@@ -41,10 +41,10 @@ def main():
     print(f"celiu single-pair: {dt*1e3:.1f} ms/pair -> {1/dt:.1f} pairs/s",
           flush=True)
 
-    # NOTE: vmapping the full pyramid solver over a 16-frame batch produced
-    # a TPU worker crash (kernel fault) on v5e / jax 0.9 — batch GT
-    # generation should loop pairs or use small vmap widths. Single-pair
-    # rate is the recorded metric.
+    # NOTE: vmapping the full pyramid solver crashes the TPU worker (kernel
+    # fault) at batch >= 4 on v5e / jax 0.9; B=2 works and is ~1.4x faster
+    # per pair (measured: 28.6 pairs/s single, 40.3 pairs/s at B=2). The
+    # recorded config2 metric (bench_configs.py) uses B=2.
 
     # qualitative artifacts
     exdir = os.path.join(os.path.dirname(__file__), "..", "examples")

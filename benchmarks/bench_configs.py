@@ -73,11 +73,32 @@ def main():
     print(f"config 1 single-scale 320x180 17x17: {dt*1e3:.2f} ms/pair "
           f"-> {1/dt:.0f} fps", flush=True)
 
+    # ---- config 2: celiu variational GT generation (192x256 car pair).
+    # B=2 vmap is the sweet spot: B=4 reproducibly crashes the TPU worker
+    # (kernel fault, see bench_celiu.py) and B=1 leaves the chip idle.
+    from depth_estimation_tpu.flow import celiu
+    cc1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
+                           192, 256))
+    cc2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"),
+                           192, 256))
+    B2 = 2
+    solve2 = jax.jit(jax.vmap(lambda a, b: celiu.coarse2fine_flow(
+        a, b, alpha=0.02, ratio=0.75, min_width=30,
+        n_outer=4, n_inner=1, n_sor=30)))
+    b1 = jnp.broadcast_to(jnp.asarray(cc1), (B2, 192, 256, 3))
+    b2 = jnp.broadcast_to(jnp.asarray(cc2), (B2, 192, 256, 3))
+    dt = timed(lambda: solve2(b1, b2)[0], 5, B2)
+    results["config2_celiu_pairs_per_s"] = round(1 / dt, 1)
+    print(f"config 2 celiu variational 192x256 (B={B2}): {dt*1e3:.1f} "
+          f"ms/pair -> {1/dt:.1f} pairs/s", flush=True)
+
     # ---- config 3: multiscale 3-level pyramid full-image inference
     # (streaming batch B3, staged fast decode — see decode_full_staged)
     g3 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
                   maxh=8, maxw=8, multiscale=True, ratios=(1, 2, 4))
-    m3 = MultiscaleFlowModel(g3)
+    # bf16 matcher precision in the staged decode: 522 -> 610 fps measured,
+    # WTA index agreement 98.5% vs f32 (inference-only; training stays f32)
+    m3 = MultiscaleFlowModel(g3, decode_dtype=jnp.bfloat16)
     p3 = m3.init(jax.random.PRNGKey(0))
     B3 = 64
     c1m = jnp.broadcast_to(jnp.asarray(car1), (B3, 180, 320, 3))

@@ -29,6 +29,11 @@ def build_parser():
     p.add_argument("-ni", "--num-images", type=int, default=10)
     p.add_argument("-o", "--output-dir", default="radial_out")
     p.add_argument("-ki", "--k-infty", type=float, default=1.0)
+    p.add_argument("-cmp", "--compare-dense", action="store_true",
+                   help="also render a dense-variational-flow depth panel "
+                        "per frame (the reference compares against OpenCV "
+                        "Farneback, test_radial_opticalflow.lua:231-237; "
+                        "the in-repo celiu solver is the stand-in)")
     return p
 
 
@@ -95,6 +100,28 @@ def main(argv=None) -> int:
             rgb = polar_ops.depth2color(depth, confs)
             save_image(os.path.join(args.output_dir, f"{k:09d}.png"),
                        np.asarray(rgb))
+            if args.compare_dense:
+                # dense-flow baseline column: flow magnitude -> depth panel
+                # (reference: sfm2.getOpticalFlow Farneback + flow2depth,
+                # test_radial_opticalflow.lua:231-237)
+                from ..flow import celiu
+                timers.tic("dense")
+                ps = img_mod.scale(jnp.asarray(prev), args.h_input,
+                                   args.w_input)
+                cs = img_mod.scale(jnp.asarray(img), args.h_input,
+                                   args.w_input)
+                u, v, _ = celiu.coarse2fine_flow(
+                    ps, cs, alpha=0.02, ratio=0.75, min_width=30,
+                    n_outer=3, n_inner=1, n_sor=20)
+                mag = jnp.sqrt(u * u + v * v)
+                ddepth, dconfs = polar_ops.flow2depth(
+                    args.h_input, args.w_input, mag,
+                    (float(e2_smooth[0]), float(e2_smooth[1])), args.k_infty)
+                drgb = polar_ops.depth2color(ddepth, dconfs)
+                save_image(os.path.join(args.output_dir,
+                                        f"{k:09d}_dense.png"),
+                           np.asarray(drgb))
+                timers.toc("dense")
         timers.toc("pair")
         prev = img
         k += 1

@@ -103,8 +103,11 @@ def cmd_stream(args) -> int:
     cal = calmod.PRESETS[args.calibration]
     est = DepthEstimator(geom, params, cal, head=args.head,
                          sync_timers=not args.pipeline)
-    loader = img_mod.ImageLoader(args.directory, cal.hImg, cal.wImg,
-                                 args.first)
+    if getattr(args, "camera", None):
+        loader = img_mod.ImageCamera(cal.hImg, cal.wImg, device=args.camera)
+    else:
+        loader = img_mod.ImageLoader(args.directory, cal.hImg, cal.wImg,
+                                     args.first)
     first = loader.get_next_frame()
     est.reset(first)
 
@@ -361,6 +364,11 @@ def main(argv=None) -> int:
     s = sub.add_parser("stream")
     s.add_argument("model")
     s.add_argument("directory")
+    s.add_argument("--camera", default=None, metavar="DEV",
+                   help="capture live from a V4L2 device (e.g. /dev/video0) "
+                        "instead of reading numbered files — the reference's "
+                        "_online driver regime "
+                        "(depth_estimation_opticalflow_online.lua:55-105)")
     s.add_argument("--calibration", default="ardrone")
     s.add_argument("--head", default="mean")
     s.add_argument("--first", type=int, default=0)

@@ -70,20 +70,23 @@ def patch_ssd_costs(
     img1c = img1[h1:H - maxh // 2, w1:W - maxw // 2, :]
     Hc, Wc = img1c.shape[0], img1c.shape[1]
 
-    ones = jnp.ones((kh, kw), img1.dtype)
-    costs = []
+    # stack per-displacement pixel errors on the LAST axis first, then one
+    # box-sum over all of them: the displacement dim (maxh*maxw, e.g. 256)
+    # rides the 128-wide lane dimension, so the reduce_window tiles cleanly.
+    # (The per-displacement 2-D reduce_window formulation lowers, under
+    # vmap, to (B, H, W, 1)-shaped temps whose trailing singleton gets
+    # 128x lane padding — 43 GB of HLO temps for an 8-pair batch.)
+    errs = []
     for dy in range(maxh):
         for dx in range(maxw):
             diff = img1c - jax.lax.slice(
                 img2, (dy, dx, 0), (dy + Hc, dx + Wc, C)
             )
-            e = jnp.sum(diff * diff, axis=-1)
-            # kh x kw VALID box sum
-            box = jax.lax.reduce_window(
-                e, 0.0, jax.lax.add, (kh, kw), (1, 1), "VALID"
-            )
-            costs.append(box)
-    return jnp.stack(costs, axis=-1)
+            errs.append(jnp.sum(diff * diff, axis=-1))
+    e = jnp.stack(errs, axis=-1)                      # (Hc, Wc, D)
+    return jax.lax.reduce_window(
+        e, 0.0, jax.lax.add, (kh, kw, 1), (1, 1, 1), "VALID"
+    )
 
 
 def exhaustive_flow(
@@ -102,6 +105,51 @@ def exhaustive_flow(
     outc = flow_model.process_output(gg, dist, process_full=True, threshold=0.0)
     return (np.asarray(out.full[0]), np.asarray(out.full[1]),
             np.asarray(outc.full_confidences))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _exhaustive_batch_jit(geom: Geometry, imgs1: jnp.ndarray,
+                          imgs2: jnp.ndarray):
+    gg = gt_geometry(geom)
+
+    def one(img1, img2):
+        costs = patch_ssd_costs(img1, img2, gg.hKernelGT, gg.wKernelGT,
+                                gg.maxh, gg.maxw)
+        dist = jax.nn.softmax(-costs, axis=-1)
+        out = flow_model.process_output(gg, dist, process_full=True,
+                                        threshold=None)
+        outc = flow_model.process_output(gg, dist, process_full=True,
+                                         threshold=0.0)
+        return out.full[0], out.full[1], outc.full_confidences
+
+    return jax.vmap(one)(imgs1, imgs2)
+
+
+def exhaustive_flow_batched(
+    geom: Geometry, imgs1: np.ndarray, imgs2: np.ndarray, chunk: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched getOpticalFlowFast over a (B, H, W, C) stack of pairs:
+    ceil(B/chunk) dispatches + one fetch each, vs a dispatch + 3 fetches
+    per pair — the tunnel-RTT batching of the GT stage. ``chunk`` bounds
+    the transient per-pair cost volume (~59 MB at 320x180, 16x16 window);
+    the tail chunk is padded to the chunk size so only one program
+    compiles."""
+    B = imgs1.shape[0]
+    fys, fxs, confs = [], [], []
+    for s in range(0, B, chunk):
+        a = np.asarray(imgs1[s:s + chunk], np.float32)
+        b = np.asarray(imgs2[s:s + chunk], np.float32)
+        n = a.shape[0]
+        if n < chunk:
+            reps = [(0, chunk - n)] + [(0, 0)] * (a.ndim - 1)
+            a = np.pad(a, reps, mode="edge")
+            b = np.pad(b, reps, mode="edge")
+        fy, fx, conf = _exhaustive_batch_jit(geom, jnp.asarray(a),
+                                             jnp.asarray(b))
+        fys.append(np.asarray(fy)[:n])
+        fxs.append(np.asarray(fx)[:n])
+        confs.append(np.asarray(conf)[:n])
+    return (np.concatenate(fys), np.concatenate(fxs), np.concatenate(confs))
 
 
 # ---------------------------------------------------------------------------
@@ -148,19 +196,35 @@ def cached_liu_flow(root: str, geom: Geometry, delta: int, name: str,
     return fy, fx
 
 
-def cached_exhaustive_flow(
-    root: str, geom: Geometry, delta: int, name: str,
-    img1: jnp.ndarray, img2: jnp.ndarray,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Compute-on-miss GT cache (recompute on shape mismatch, like the
-    reference's size check, /root/reference/groundtruth_opticalflow.lua:167-188)."""
+def load_cached_flow(root: str, geom: Geometry, delta: int, name: str
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Cache read with the reference's size check (recompute on mismatch,
+    /root/reference/groundtruth_opticalflow.lua:167-188). None on miss."""
     path = _cache_path(root, geom, delta, name)
     if os.path.exists(path):
         z = np.load(path)
         fy, fx, conf = z["fy"], z["fx"], z["conf"]
         if fy.shape == (geom.hImg, geom.wImg):
             return fy, fx, conf
-    fy, fx, conf = exhaustive_flow(geom, img1, img2)
+    return None
+
+
+def store_cached_flow(root: str, geom: Geometry, delta: int, name: str,
+                      fy: np.ndarray, fx: np.ndarray,
+                      conf: np.ndarray) -> None:
+    path = _cache_path(root, geom, delta, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, fy=fy, fx=fx, conf=conf)
+
+
+def cached_exhaustive_flow(
+    root: str, geom: Geometry, delta: int, name: str,
+    img1: jnp.ndarray, img2: jnp.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compute-on-miss GT cache."""
+    hit = load_cached_flow(root, geom, delta, name)
+    if hit is not None:
+        return hit
+    fy, fx, conf = exhaustive_flow(geom, img1, img2)
+    store_cached_flow(root, geom, delta, name, fy, fx, conf)
     return fy, fx, conf

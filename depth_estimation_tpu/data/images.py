@@ -114,21 +114,50 @@ class ImageLoader:
 
 
 class ImageCamera:
-    """Camera source stub (reference uses the 'camera' V4L package,
-    /root/reference/image_camera.lua:10-27). Provide frames programmatically
-    or subclass with a real capture backend."""
+    """Live camera source (/root/reference/image_camera.lua:10-27): V4L
+    capture at 640x480, NTSC, drop-one-frame latency flush, then a vertical
+    center crop to the target aspect ratio.
 
-    def __init__(self, h: int, w: int):
+    Pass ``device`` (e.g. "/dev/video0") for real V4L2 capture (raw-ioctl
+    backend, data/v4l2.py); without a device, frames can be provided
+    programmatically via ``push`` (the fake backend used in tests and the
+    simulator loop)."""
+
+    def __init__(self, h: int, w: int, device: Optional[str] = None,
+                 capture_w: int = 640, capture_h: int = 480):
         self.h, self.w = h, w
         self._queue: list = []
+        self._cam = None
+        if device is not None:
+            from .v4l2 import V4L2Camera
+            self._cam = V4L2Camera(device, capture_w, capture_h)
 
     def push(self, frame: np.ndarray) -> None:
         self._queue.append(frame)
 
+    def _center_crop_aspect(self, frame: np.ndarray) -> np.ndarray:
+        """Crop rows so frame matches the target aspect (the reference's
+        narrow(2, diff_h/2, target_h), image_camera.lua:22-24)."""
+        fh, fw = frame.shape[:2]
+        target_h = int(round(self.h * fw / self.w))
+        if target_h < fh:
+            top = (fh - target_h) // 2
+            frame = frame[top:top + target_h]
+        return frame
+
     def get_next_frame(self) -> Optional[np.ndarray]:
-        if not self._queue:
-            return None
-        img = self._queue.pop(0)
+        if self._cam is not None:
+            self._cam.read()            # drop one buffered frame (:20-21)
+            img = self._center_crop_aspect(self._cam.read())
+        else:
+            if not self._queue:
+                return None
+            img = self._center_crop_aspect(self._queue.pop(0))
         if img.shape[:2] != (self.h, self.w):
             img = np.asarray(scale(img, self.h, self.w))
         return img
+
+    def close(self) -> None:
+        if self._cam is not None:
+            self._cam.close()
+            self._cam = None

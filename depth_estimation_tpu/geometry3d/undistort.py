@@ -44,7 +44,12 @@ def undistort_image(img: jnp.ndarray, K, dist) -> jnp.ndarray:
     xs = xd * fx + cx
     ys = yd * fy + cy
     out = bilinear_sample(img, xs, ys)
-    ok = (xs >= 0) & (xs <= W - 1) & (ys >= 0) & (ys <= H - 1)
+    # epsilon absorbs f32 cancellation in the coordinate round trip: border
+    # pixels can land ~1e-6 outside [0, n-1] (fusion-order dependent, so
+    # eager and jit/vmap paths would otherwise disagree on the border mask)
+    eps = 1e-3
+    ok = ((xs >= -eps) & (xs <= W - 1 + eps)
+          & (ys >= -eps) & (ys <= H - 1 + eps))
     return out * ok[..., None]
 
 
@@ -68,5 +73,10 @@ def remove_ego_motion(img: jnp.ndarray, K, R) -> jnp.ndarray:
     xs = q[0] / q[2]
     ys = q[1] / q[2]
     out = bilinear_sample(img, xs, ys)
-    ok = (xs >= 0) & (xs <= W - 1) & (ys >= 0) & (ys <= H - 1)
+    # epsilon absorbs f32 cancellation in the coordinate round trip: border
+    # pixels can land ~1e-6 outside [0, n-1] (fusion-order dependent, so
+    # eager and jit/vmap paths would otherwise disagree on the border mask)
+    eps = 1e-3
+    ok = ((xs >= -eps) & (xs <= W - 1 + eps)
+          & (ys >= -eps) & (ys <= H - 1 + eps))
     return out * ok[..., None]

@@ -236,7 +236,7 @@ class MultiscaleFlowModel:
     """Functional multiscale matcher (shared filters across scales when
     geometry.share_filters — the reference default)."""
 
-    def __init__(self, geometry: Geometry):
+    def __init__(self, geometry: Geometry, decode_dtype=None):
         geometry.validate()
         assert geometry.multiscale
         assert geometry.output_extraction_method == "max", \
@@ -244,6 +244,9 @@ class MultiscaleFlowModel:
             "opticalflow_model_multiscale.lua:176)"
         self.geometry = geometry
         self.filter = ConvFilter(geometry)
+        # inference-only matcher precision for the fast decode (bf16 halves
+        # the SSD load traffic; training/forward_full stay full precision)
+        self.decode_dtype = decode_dtype
 
     def init(self, rng) -> dict:
         g = self.geometry
@@ -311,8 +314,10 @@ class MultiscaleFlowModel:
         n = len(g.ratios)
         D = g.maxh * g.maxw
         mid_concat = codecs.middle_index(g)
-        dists = [jax.nn.softmax(-matching.match_ssd(f1, f2, g.maxh, g.maxw),
-                                axis=-1) for f1, f2 in feats]
+        dists = [jax.nn.softmax(
+            -matching.match_ssd(f1, f2, g.maxh, g.maxw,
+                                dtype=self.decode_dtype), axis=-1)
+            for f1, f2 in feats]
 
         # static per-scale band metadata from the concat codec layout
         band = _band_indices(g)

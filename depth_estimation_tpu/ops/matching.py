@@ -47,15 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 # Pure-JAX reference path (differentiable, parity-exact)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def match_ssd(f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def match_ssd(f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
+              dtype=None) -> jnp.ndarray:
     """SSD cost volume.
 
     Args:
       f1: (H, W, K) reference features (already half-window cropped).
       f2: (H + maxh - 1, W + maxw - 1, K) search features.
+      dtype: optional feature compute type (e.g. jnp.bfloat16 halves the
+        per-displacement load traffic; differences are upcast to f32 before
+        the square-sum). None keeps the input precision (the default for
+        training and bit-parity paths).
     Returns:
-      (H, W, maxh * maxw) float cost volume, d = dy * maxw + dx.
+      (H, W, maxh * maxw) f32 cost volume, d = dy * maxw + dx.
     """
     H = f2.shape[0] - maxh + 1
     W = f2.shape[1] - maxw + 1
@@ -66,12 +71,15 @@ def match_ssd(f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int) -> jnp.nda
     # wide W dim fills the lanes
     f1t = jnp.transpose(f1, (2, 0, 1))
     f2t = jnp.transpose(f2, (2, 0, 1))
+    if dtype is not None:
+        f1t = f1t.astype(dtype)
+        f2t = f2t.astype(dtype)
     costs = []
     for dy in range(maxh):
         for dx in range(maxw):
-            diff = f1t - jax.lax.slice(
+            diff = (f1t - jax.lax.slice(
                 f2t, (0, dy, dx), (K, dy + H, dx + W)
-            )
+            )).astype(jnp.float32)
             costs.append(jnp.sum(diff * diff, axis=0))
     return jnp.stack(costs, axis=-1)
 
@@ -135,9 +143,9 @@ def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
         sx = jnp.zeros((th, W), jnp.float32)           # row sum exp * dx
         for dx in range(maxw):
             d = dy * maxw + dx
-            diff = f1 - jax.lax.slice(
+            diff = (f1 - jax.lax.slice(
                 f2, (0, dy, dx), (K, dy + th, dx + W)
-            )
+            )).astype(jnp.float32)
             l = -jnp.sum(diff * diff, axis=0)          # (TH, W) logit
             # argmax with first-occurrence semantics (match torch max)
             better = l > bm
@@ -185,10 +193,11 @@ def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
         marg_ref[...] = jnp.stack(rows, axis=0) / s[None]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def match_flow_fused(
     f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
     block_rows: int = 8, interpret: bool = False, want_marg: bool = False,
+    dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused match + decode. Accepts (H, W, K) or batched (B, H, W, K)
     inputs (batch is a native grid dimension — do NOT vmap this op; Pallas
@@ -214,16 +223,19 @@ def match_flow_fused(
     K = f1.shape[3]
     assert f1.shape == (B, H, W, K)
 
-    # channels-first so wide spatial dims occupy sublanes/lanes
-    f1t = jnp.transpose(f1, (0, 3, 1, 2)).astype(jnp.float32)
-    f2t = jnp.transpose(f2, (0, 3, 1, 2)).astype(jnp.float32)
+    # channels-first so wide spatial dims occupy sublanes/lanes. ``dtype``
+    # is the feature storage/VMEM type: bf16 halves the per-displacement
+    # VMEM load traffic (costs accumulate in f32 either way).
+    f1t = jnp.transpose(f1, (0, 3, 1, 2)).astype(dtype)
+    f2t = jnp.transpose(f2, (0, 3, 1, 2)).astype(dtype)
 
-    # Mosaic constraints: DMA row offsets/shapes must be 8-aligned (f32
-    # sublane tiling), so the block height is a multiple of 8 and the DMA'd
-    # slab is rounded up to a multiple of 8 rows...
-    th = max(8, (min(block_rows, H) // 8) * 8)
+    # Mosaic constraints: DMA row offsets/shapes must be sublane-aligned
+    # (8 rows for f32 tiles, 16 for bf16), so the block height is a
+    # multiple of the tile and the DMA'd slab is rounded up likewise...
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    th = max(sub, (min(block_rows, H) // sub) * sub)
     n_blocks = pl.cdiv(H, th)
-    slab_rows = -(-(th + maxh - 1) // 8) * 8
+    slab_rows = -(-(th + maxh - 1) // sub) * sub
     rows_needed = (n_blocks - 1) * th + slab_rows
     pad1 = n_blocks * th - H
     pad2 = rows_needed - f2t.shape[2]
@@ -257,7 +269,7 @@ def match_flow_fused(
 
         def body(slab, sem):
             dma = pltpu.make_async_copy(
-                f2_ref.at[b, :, pl.ds(pl.multiple_of(i * th, 8), slab_rows), :],
+                f2_ref.at[b, :, pl.ds(pl.multiple_of(i * th, sub), slab_rows), :],
                 slab, sem,
             )
             dma.start()
@@ -269,7 +281,7 @@ def match_flow_fused(
                           maxh=maxh, maxw=maxw, mid=mid, th=th)
         pl.run_scoped(
             body,
-            pltpu.VMEM((K, slab_rows, W2), jnp.float32),
+            pltpu.VMEM((K, slab_rows, W2), dtype),
             pltpu.SemaphoreType.DMA(()),
         )
 

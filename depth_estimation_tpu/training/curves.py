@@ -70,6 +70,43 @@ def get_learning_scores(models_dir: str) -> Dict[str, List[Dict]]:
     return curves
 
 
+def backfill_scores(models_dir: str, test_ds, images: Optional[list] = None,
+                    flows: Optional[list] = None, n_images: int = 2
+                    ) -> List[str]:
+    """Repair checkpoints whose score history is missing — the reference's
+    getLearningScores(..., fix_file) path
+    (/root/reference/score_opticalflow.lua:136-214): for each checkpoint
+    directory under ``models_dir`` with an empty 'score', rebuild the model,
+    recompute score_epoch on the provided test set, and rewrite meta.json
+    with the backfilled history. Returns the repaired directory names."""
+    from ..models import flow as flow_model
+    from ..models import io as model_io
+
+    fixed = []
+    for name in sorted(os.listdir(models_dir)):
+        path = os.path.join(models_dir, name)
+        meta_path = os.path.join(path, "meta.json")
+        if not os.path.exists(meta_path):
+            continue
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("score"):
+            continue
+        geom, lrn, params, meta = model_io.load_model(path)
+        if geom.multiscale:
+            continue   # multiscale scores come from the fovea trainer
+        model = flow_model.FlowModel(geom)
+        score = score_epoch(model, params, geom, lrn, test_ds,
+                            images, flows, n_images)
+        score["epoch"] = meta.get("epoch", 0)
+        score["backfilled"] = True
+        meta["score"] = [score]
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+        fixed.append(name)
+    return fixed
+
+
 def plot_learning_curves(models_dir: str, out_path: str,
                          key: str = "test_acc") -> Optional[str]:
     """Accuracy curves across checkpoints (getLearningCurve, :216-233)."""

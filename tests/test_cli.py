@@ -215,3 +215,52 @@ def test_legacy_depth_cli_end_to_end(tmp_path):
     ])
     assert rc2 == 0
     assert os.path.exists(os.path.join(out, "depth_classes_000000001.npz"))
+
+
+def test_radial_tester_cli_with_dense_baseline(tmp_path):
+    """The radial tester streaming loop incl. the dense-flow comparison
+    column (celiu standing in for the reference's OpenCV Farneback,
+    test_radial_opticalflow.lua:231-237)."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu.flow.celiu import bilinear_sample, gaussian_smooth
+    from PIL import Image
+    rng = np.random.RandomState(1)
+    H, W = 128, 160
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(H, W, 3).astype(np.float32)), 0.8, 2))
+    base = np.clip(base * 1.5, 0, 1).astype(np.float32)
+
+    def forward_step(img, s_top, s_bottom):
+        cy, cx = H / 2, W / 2
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        s = np.where(yy < cy, s_top, s_bottom)
+        xs = cx + (xx - cx) / s
+        ys = cy + (yy - cy) / s
+        return np.asarray(bilinear_sample(jnp.asarray(img),
+                                          jnp.asarray(xs), jnp.asarray(ys)))
+
+    d = tmp_path / "seq" / "images"
+    os.makedirs(d)
+    frame = base
+    for i in range(3):
+        Image.fromarray((np.clip(frame, 0, 1) * 255).astype(np.uint8)).save(
+            d / f"{i:09d}.png")
+        frame = forward_step(frame, 1.03, 1.10)
+
+    from depth_estimation_tpu.cli import test_radial
+    out = str(tmp_path / "panels")
+    rc = test_radial.main([
+        "-rd", str(tmp_path / "seq"),
+        "-cal", "test128x160",
+        "-net", "[[3,5,5,8]]",
+        "-hwin", "5", "-hi", "64", "-wi", "64",
+        "-ni", "2", "-o", out, "-cmp",
+    ])
+    assert rc == 0
+    panels = sorted(os.listdir(out))
+    assert any(p.endswith(".png") and "_dense" not in p for p in panels)
+    assert any(p.endswith("_dense.png") for p in panels), panels
+    # panels are RGB images of the flow2depth output size
+    from PIL import Image as PILImage
+    im = np.asarray(PILImage.open(os.path.join(out, panels[0])))
+    assert im.ndim == 3 and im.shape[2] == 3

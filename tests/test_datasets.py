@@ -230,3 +230,91 @@ def test_load_plain_pair_and_backend_dispatch(tmp_path):
     f = raw["flow"][0]
     inner = f[1][20:-20, 20:-20]
     assert (inner == -2.0).all()
+
+
+def test_yuyv_to_rgb_conversion():
+    """BT.601 YUYV -> RGB: gray (U=V=128) maps to r=g=b=Y/255; a pure-red
+    sample round-trips within quantization error."""
+    from depth_estimation_tpu.data.v4l2 import yuyv_to_rgb
+    h, w = 2, 4
+    # all-gray Y=128
+    raw = np.tile(np.array([128, 128, 128, 128], np.uint8), h * w // 2)
+    rgb = yuyv_to_rgb(raw, h, w)
+    np.testing.assert_allclose(rgb, 128 / 255.0, atol=1e-3)
+    assert rgb.shape == (h, w, 3)
+    # encode pure red (255,0,0): Y=76.245, U=84.972, V=255 (clamped) —
+    # use the forward BT.601 to build the sample
+    r, g, b = 255.0, 0.0, 0.0
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = (b - y) / 1.772 + 128
+    v = (r - y) / 1.402 + 128
+    raw = np.tile(np.array([y, u, y, v], np.uint8), h * w // 2)
+    rgb = yuyv_to_rgb(raw, h, w)
+    assert rgb[0, 0, 0] > 0.95 and rgb[0, 0, 1] < 0.05 and rgb[0, 0, 2] < 0.05
+
+
+def test_v4l2_ioctl_codes_and_struct_sizes():
+    """The ioctl codes embed sizeof(struct); pin the 64-bit UAPI layouts
+    (videodev2.h): sizeof(v4l2_format)=208, v4l2_buffer=88,
+    v4l2_requestbuffers=20."""
+    import ctypes
+    from depth_estimation_tpu.data import v4l2
+    assert ctypes.sizeof(v4l2.v4l2_format) == 208
+    assert ctypes.sizeof(v4l2.v4l2_buffer) == 88
+    assert ctypes.sizeof(v4l2.v4l2_requestbuffers) == 20
+    assert v4l2.VIDIOC_S_FMT == 0xC0D05605
+    assert v4l2.VIDIOC_QUERYBUF == 0xC0585609
+    assert v4l2.VIDIOC_REQBUFS == 0xC0145608
+    assert v4l2.VIDIOC_STREAMON == 0x40045612
+
+
+def test_image_camera_queue_and_crop():
+    """Fake-backend ImageCamera applies the reference's vertical center
+    crop to target aspect before scaling (image_camera.lua:22-24); opening
+    a missing V4L2 device raises."""
+    from depth_estimation_tpu.data.images import ImageCamera
+    cam = ImageCamera(60, 80)
+    frame = np.zeros((480, 640, 3), np.float32)
+    frame[100:380] = 1.0   # bright band exactly at the kept center rows
+    cam.push(frame)
+    out = cam.get_next_frame()
+    assert out.shape == (60, 80, 3)
+    # 640 * 60/80 = 480 target rows... same height: nothing cropped
+    assert out.mean() < 0.99
+    cam2 = ImageCamera(60, 120)   # target 640*60/120 = 320 rows center crop
+    cam2.push(frame)
+    out2 = cam2.get_next_frame()
+    assert out2.shape == (60, 120, 3)
+    assert out2.mean() > 0.85, out2.mean()   # kept rows are the bright band
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        ImageCamera(60, 80, device="/dev/video99")
+
+
+def test_batched_rectification_matches_per_pair(tmp_path):
+    """load_rectified_pairs_batched (one fused XLA program for the whole
+    stack) must reproduce the per-pair loader exactly — same scale, tracker
+    and RANSAC key."""
+    g = Geometry(hImg=64, wImg=80, layers=((3, 5, 5, 8),),
+                 maxh=6, maxw=6, maxhGT=6, maxwGT=6,
+                 hKernelGT=5, wKernelGT=5)
+    cal = small_cal(64, 80)
+    root = make_sequence(tmp_path, n=4)
+    from depth_estimation_tpu.data.images import ImageLoader
+    loader = ImageLoader(root, cal.hImg, cal.wImg)
+    frames = [loader.get_next_frame() for _ in range(4)]
+
+    batched = datasets.load_rectified_pairs_batched(g, cal, frames)
+    assert len(batched) == 3
+    for k in range(3):
+        single = datasets.load_rectified_pair(g, cal, frames[k],
+                                              frames[k + 1])
+        assert batched[k].good == single.good
+        if not single.good:
+            continue
+        np.testing.assert_allclose(batched[k].image, single.image,
+                                   atol=1e-5)
+        np.testing.assert_allclose(batched[k].prev_warped,
+                                   single.prev_warped, atol=1e-4)
+        np.testing.assert_array_equal(batched[k].mask, single.mask)
+        np.testing.assert_array_equal(batched[k].flow, single.flow)

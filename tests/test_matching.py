@@ -191,3 +191,54 @@ def test_fused_marginal_output():
         jnp.asarray(f1), jnp.asarray(f2), maxh, maxw, 4, True)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx0))
     np.testing.assert_allclose(np.asarray(ey), np.asarray(ey0), rtol=1e-6)
+
+
+def test_entropy_mask_exact_values_and_monotonicity():
+    """entropy_mask thresholds Shannon entropy of the window distribution:
+    uniform over n cells has entropy exactly ln(n); mixing a peaked
+    distribution toward uniform increases entropy monotonically."""
+    from depth_estimation_tpu.ops import extract
+    n = 64
+    uniform = np.full(n, 1.0 / n, np.float32)
+    # exact boundary: ln(64) = 4.1589; threshold just below/above
+    ln_n = float(np.log(n))
+    m_below = np.asarray(extract.entropy_mask(
+        jnp.asarray(uniform[None]), threshold=ln_n - 1e-3))
+    m_above = np.asarray(extract.entropy_mask(
+        jnp.asarray(uniform[None]), threshold=ln_n + 1e-3))
+    assert not m_below[0] and m_above[0]
+    # monotonicity in the mixing coefficient
+    peak = np.zeros(n, np.float32)
+    peak[7] = 1.0
+    hs = []
+    for lam in (0.0, 0.25, 0.5, 0.75, 1.0):
+        p = (1 - lam) * peak + lam * uniform
+        p = p / p.sum()
+        pc = np.clip(p, 1e-12, 1.0)
+        hs.append(float(-(pc * np.log(pc)).sum()))
+        # mask agrees with the hand-computed entropy on both sides
+        for eps in (-1e-3, 1e-3):
+            m = np.asarray(extract.entropy_mask(
+                jnp.asarray(p[None]), threshold=hs[-1] + eps))
+            assert bool(m[0]) == (eps > 0)
+    assert all(a < b for a, b in zip(hs, hs[1:]))
+
+
+def test_fused_kernel_bf16_parity():
+    """The bf16 feature path of match_flow_fused must agree with f32 on the
+    WTA index nearly everywhere and on soft-argmax within bf16 tolerance."""
+    from depth_estimation_tpu.ops import matching
+    rng = np.random.RandomState(7)
+    maxh = maxw = 8
+    H, W, K = 24, 32, 6
+    f1 = jnp.asarray(rng.rand(H, W, K), jnp.float32)
+    f2 = jnp.asarray(rng.rand(H + maxh - 1, W + maxw - 1, K), jnp.float32)
+    o32 = matching.match_flow_fused(f1, f2, maxh, maxw, 8, True)
+    o16 = matching.match_flow_fused(f1, f2, maxh, maxw, 16, True, False,
+                                    jnp.bfloat16)
+    idx_agree = (np.asarray(o32[0]) == np.asarray(o16[0])).mean()
+    assert idx_agree > 0.9, idx_agree
+    np.testing.assert_allclose(np.asarray(o32[1]), np.asarray(o16[1]),
+                               atol=0.25)
+    np.testing.assert_allclose(np.asarray(o32[3]), np.asarray(o16[3]),
+                               atol=0.05)

@@ -158,3 +158,34 @@ def _interleave(images, flows):
         seq_i.extend([images[k], images[k + 1]])
         seq_f.extend([flows[k], None])
     return seq_i, seq_f[:-1]
+
+
+def test_backfill_scores_repairs_scoreless_checkpoints(tmp_path):
+    """getLearningScores(..., fix_file) path: a checkpoint saved without a
+    score history gets one recomputed and written back
+    (/root/reference/score_opticalflow.lua:136-214)."""
+    import json
+    from depth_estimation_tpu.models import io as model_io
+    from depth_estimation_tpu.models.flow import FlowModel
+    from depth_estimation_tpu.training.curves import (backfill_scores,
+                                                      get_learning_scores)
+
+    g = tiny_geometry()
+    images, flows = synthetic_sequence(g)
+    rng = np.random.RandomState(0)
+    ds = training.sample_patches(g, Learning(), images, flows, None, 16, rng)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+    mdir = tmp_path / "models"
+    model_io.save_model(str(mdir / "broken"), g, Learning(), params,
+                        score_history=None, epoch=3)
+    assert get_learning_scores(str(mdir)) == {}
+    fixed = backfill_scores(str(mdir), ds, images, flows)
+    assert fixed == ["broken"]
+    meta = json.load(open(mdir / "broken" / "meta.json"))
+    assert len(meta["score"]) == 1
+    s = meta["score"][0]
+    assert s["backfilled"] and s["epoch"] == 3
+    assert 0.0 <= s["test_acc"] <= 1.0 and np.isfinite(s["test_err"])
+    # second run is a no-op
+    assert backfill_scores(str(mdir), ds, images, flows) == []

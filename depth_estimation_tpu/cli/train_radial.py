@@ -69,21 +69,23 @@ def main(argv=None) -> int:
                        layers=((3, 16, 16, 768),),
                        maxh=16, maxw=16, maxhGT=16, maxwGT=16,
                        hKernelGT=16, wKernelGT=16)
-    pairs = []
-    prev = loader.get_next_frame()
-    for _ in range(args.num_input_images - 1):
-        for _ in range(args.delta - 1):
+    frames = []
+    while len(frames) < args.num_input_images:
+        for _ in range(args.delta - 1 if frames else 0):
             loader.get_next_frame()
-        img = loader.get_next_frame()
-        if img is None:
+        f = loader.get_next_frame()
+        if f is None:
             break
-        pair = ds_mod.load_polar_pair(
-            cal, prev, img, cal.hImg, cal.wImg,
-            args.h_input, args.w_input, net.w_kernel,
-            geom_gt=geom_gt, max_flow=max_flow)
-        if pair.good:
-            pairs.append(pair)
-        prev = img
+        frames.append(f)
+    if len(frames) < 2:
+        print("no usable pairs", file=sys.stderr)
+        return 1
+    # batched loader: the whole ego-motion/polar-warp/GT stack for every
+    # pair runs in a handful of device programs (load_polar_pairs_batched)
+    pairs = [p for p in ds_mod.load_polar_pairs_batched(
+        cal, frames, cal.hImg, cal.wImg,
+        args.h_input, args.w_input, net.w_kernel,
+        geom_gt=geom_gt, max_flow=max_flow) if p.good]
     if not pairs:
         print("no usable pairs", file=sys.stderr)
         return 1

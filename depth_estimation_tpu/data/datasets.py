@@ -531,6 +531,145 @@ def load_polar_pair(
     return PolarPair(p_img, p_prev, p_mask, e2, True, p_gt, p_gt_mask)
 
 
+def _rmax_traced(h: int, w: int, ex, ey):
+    """get_rmax with traced epipole (floor(sqrt(max corner distance^2)),
+    radial_opticalflow_polar.lua:4-10)."""
+    d = jnp.maximum(
+        jnp.maximum(ex * ex + ey * ey, (w - ex) ** 2 + ey * ey),
+        jnp.maximum(ex * ex + (h - ey) ** 2, (w - ex) ** 2 + (h - ey) ** 2))
+    return jnp.floor(jnp.sqrt(d))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _polar_batch_device(prevs, imgs, K, cal_w: int, cal_h: int,
+                        h_img: int, w_img: int, h_input: int, w_input: int,
+                        w_kernel: int, max_points: int = 400,
+                        quality: float = 0.001):
+    """Fused ego-motion -> epipole -> rotation removal -> polar warps for a
+    (B, H, W, C) stack of frame pairs — one XLA program (the batched
+    radial_opticalflow_data.lua:182-288 loop; per-pair eager dispatch costs
+    ~8 round-trips on the tunneled TPU)."""
+    from .images import scale as _scale
+
+    K = jnp.asarray(K, jnp.float32)
+    Ks = K.at[0].mul(w_img / cal_w).at[1].mul(h_img / cal_h)
+    key = jax.random.PRNGKey(1)
+    lp = (w_kernel - 1) // 2
+    rp = (w_kernel - 1) - lp
+
+    def one(prev, img):
+        pts, pvalid = ego.good_features_to_track(prev, max_points, quality)
+        pts2, status = ego.track_lk(prev, img, pts)
+        em = ego.get_ego_motion_from_matches(pts, pts2, pvalid & status, K,
+                                             key=key)
+        e2 = ego.epipole(K, em.T) * (w_img / cal_w)
+        img_s = _scale(img, h_img, w_img)
+        prev_s = _scale(prev, h_img, w_img)
+        prev_w = undist.remove_ego_motion(prev_s, Ks, em.R)
+        ones = jnp.ones((h_img, w_img, 1), jnp.float32)
+        mask = (undist.remove_ego_motion(ones, Ks, em.R)[..., 0]
+                > 0.5).astype(jnp.float32)
+        border = jnp.zeros((h_img, w_img), jnp.float32).at[1:-1, 1:-1].set(1.0)
+        mask = mask * border
+        rmax = _rmax_traced(h_img, w_img, e2[0], e2[1])
+        grid = polar_ops.get_c2p_grid(w_img, h_img, w_input, h_input,
+                                      e2[0], e2[1], lpadding=lp,
+                                      rpadding=rp, rmax=rmax)
+        p_img = polar_ops.warp_grid(img_s, grid)
+        p_prev = polar_ops.warp_grid(prev_w, grid)
+        p_mask = (polar_ops.warp_grid(mask[..., None], grid)[..., 0]
+                  > 0).astype(jnp.float32)
+        return (p_img, p_prev, p_mask, e2, em.n_inliers, em.n_found,
+                prev_w, img_s, mask)
+
+    return jax.vmap(one)(prevs, imgs)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _polar_gt_batch_device(flows_y, flows_x, confs, masks, e2s,
+                           h_img: int, w_img: int, h_input: int,
+                           w_input: int, w_kernel: int,
+                           max_flow: float = jnp.inf):
+    """Vmapped GT projection onto the radial direction + saturation +
+    polar warp (project_groundtruth/saturate, radial_opticalflow_data.lua
+    :113-136, :254-281)."""
+    lp = (w_kernel - 1) // 2
+    rp = (w_kernel - 1) - lp
+
+    def one(fy, fx, conf, mask, e2):
+        ys = jnp.arange(h_img, dtype=jnp.float32)[:, None] - e2[1]
+        xs = jnp.arange(w_img, dtype=jnp.float32)[None, :] - e2[0]
+        n = jnp.sqrt(ys * ys + xs * xs) + 1e-12
+        projf = (fy * ys + fx * xs) / n
+        proj = jnp.floor(projf + 0.5)
+        gds = (conf > 0).astype(jnp.float32) * mask * (projf >= 0)
+        sat = (proj <= max_flow).astype(jnp.float32)
+        proj = proj * sat + (1 - sat) * max_flow
+        gds = gds * sat
+        proj = proj * gds
+        rmax = _rmax_traced(h_img, w_img, e2[0], e2[1])
+        grid = polar_ops.get_c2p_grid(w_img, h_img, w_input, h_input,
+                                      e2[0], e2[1], lpadding=lp,
+                                      rpadding=rp, rmax=rmax)
+        both = jnp.stack([proj, gds], axis=-1)
+        warped = polar_ops.warp_grid(both, grid)
+        return warped[..., 0], (warped[..., 1] > 0.99).astype(jnp.float32)
+
+    return jax.vmap(one)(flows_y, flows_x, confs, masks, e2s)
+
+
+def load_polar_pairs_batched(
+    cal: Calibration, frames: List[np.ndarray],
+    h_img: int, w_img: int, h_input: int, w_input: int, w_kernel: int,
+    geom_gt: Optional[Geometry] = None, max_flow: Optional[float] = None,
+    delta: int = 1,
+) -> List[PolarPair]:
+    """Batched radial load_dataset: the whole ego-motion/polar-warp stack
+    for all consecutive pairs runs as one device program; GT (if requested)
+    goes through the chunked batched exhaustive matcher and one more
+    vmapped projection/warp program. Semantics per pair match
+    load_polar_pair (same tracker key and scale)."""
+    prevs = jnp.asarray(np.stack(frames[:-delta]).astype(np.float32))
+    imgs = jnp.asarray(np.stack(frames[delta:]).astype(np.float32))
+    (p_img, p_prev, p_mask, e2s, n_inl, n_fnd,
+     prev_w, img_s, masks) = _polar_batch_device(
+        prevs, imgs, cal.K, cal.wImg, cal.hImg, h_img, w_img,
+        h_input, w_input, w_kernel,
+        cal.sfm.max_points, cal.sfm.points_quality)
+    n_inl = np.asarray(n_inl)
+    n_fnd = np.asarray(n_fnd)
+    e2s_np = np.asarray(e2s)
+    B = prevs.shape[0]
+    good = [float(n_inl[k]) / max(float(n_fnd[k]), 1.0)
+            >= cal.bad_image_threshold for k in range(B)]
+
+    gt_polar = gt_mask_polar = None
+    if geom_gt is not None:
+        fy, fx, conf = gt_mod.exhaustive_flow_batched(
+            geom_gt, np.asarray(prev_w), np.asarray(img_s), chunk=2)
+        gt_polar, gt_mask_polar = _polar_gt_batch_device(
+            jnp.asarray(fy), jnp.asarray(fx), jnp.asarray(conf),
+            masks, e2s, h_img, w_img, h_input, w_input, w_kernel,
+            float(max_flow) if max_flow is not None else float("inf"))
+        gt_polar = np.asarray(gt_polar)
+        gt_mask_polar = np.asarray(gt_mask_polar)
+
+    p_img = np.asarray(p_img)
+    p_prev = np.asarray(p_prev)
+    p_mask = np.asarray(p_mask)
+    out = []
+    for k in range(B):
+        if not good[k]:
+            z = np.zeros((h_input, w_input), np.float32)
+            out.append(PolarPair(z, z, z, e2s_np[k], False))
+            continue
+        out.append(PolarPair(
+            p_img[k], p_prev[k], p_mask[k], e2s_np[k], True,
+            None if gt_polar is None else gt_polar[k],
+            None if gt_mask_polar is None else gt_mask_polar[k]))
+    return out
+
+
 def smooth_epipole(prev_e2: Optional[np.ndarray], e2: np.ndarray,
                    h_img: int, w_img: int, alpha: float = 0.5) -> np.ndarray:
     """EMA epipole smoothing with out-of-frame fallback

@@ -318,3 +318,60 @@ def test_batched_rectification_matches_per_pair(tmp_path):
                                    single.prev_warped, atol=1e-4)
         np.testing.assert_array_equal(batched[k].mask, single.mask)
         np.testing.assert_array_equal(batched[k].flow, single.flow)
+
+
+def test_batched_polar_loader_matches_per_pair(tmp_path):
+    """load_polar_pairs_batched (fused device program for all pairs) must
+    reproduce the per-pair load_polar_pair: same tracker key, same polar
+    grids, same projected GT."""
+    from depth_estimation_tpu.flow.celiu import bilinear_sample, gaussian_smooth
+
+    H, W = 96, 128
+    rng = np.random.RandomState(2)
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(H, W, 3).astype(np.float32)), 0.8, 2))
+    base = np.clip(base * 1.5, 0, 1).astype(np.float32)
+
+    def forward_step(img, s_top, s_bottom):
+        cy, cx = H / 2, W / 2
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        s = np.where(yy < cy, s_top, s_bottom)
+        xs = cx + (xx - cx) / s
+        ys = cy + (yy - cy) / s
+        return np.asarray(bilinear_sample(jnp.asarray(img),
+                                          jnp.asarray(xs), jnp.asarray(ys)))
+
+    frames = [base]
+    for _ in range(2):
+        frames.append(forward_step(frames[-1], 1.03, 1.10))
+
+    cal = small_cal(H, W)
+    gg = Geometry(hImg=H, wImg=W, layers=((3, 8, 8, 8),),
+                  maxh=8, maxw=8, maxhGT=8, maxwGT=8,
+                  hKernelGT=8, wKernelGT=8)
+    hi = wi = 64
+    wk = 5
+    batched = datasets.load_polar_pairs_batched(
+        cal, frames, H, W, hi, wi, wk, geom_gt=gg, max_flow=6.0)
+    assert len(batched) == 2
+    for k in range(2):
+        single = datasets.load_polar_pair(
+            cal, frames[k], frames[k + 1], H, W, hi, wi, wk,
+            geom_gt=gg, max_flow=6.0)
+        assert batched[k].good == single.good
+        if not single.good:
+            continue
+        np.testing.assert_allclose(batched[k].e2, single.e2,
+                                   atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(batched[k].polar_image,
+                                   single.polar_image, atol=2e-3)
+        np.testing.assert_allclose(batched[k].polar_prev_image,
+                                   single.polar_prev_image, atol=2e-3)
+        assert (batched[k].polar_mask == single.polar_mask).mean() > 0.995
+        # the device path projects in f32, the per-pair path in numpy f64:
+        # values sitting exactly on the floor(x + 0.5) quantization boundary
+        # flip by one step — everything else must agree exactly
+        same_gt = (batched[k].polar_gt == single.polar_gt).mean()
+        assert same_gt > 0.95, same_gt
+        diff = np.abs(batched[k].polar_gt - single.polar_gt)
+        assert diff.max() <= 1.0 + 1e-6, diff.max()

@@ -242,3 +242,71 @@ def test_trainable_beta_model_gradients(single_beta):
     np.testing.assert_allclose(
         np.take_along_axis(np.asarray(full), np.asarray(idx)[..., None],
                            -1)[..., 0], vmax, rtol=1e-5)
+
+
+@pytest.mark.parametrize("ratios", [(1, 2), (1, 2, 4)])
+def test_cascade_gradient_check(ratios):
+    """Jacobian check of the cascade — the reference gradient-checks
+    CascadingAddTable with nn.Jacobian over randomized shapes/ratios
+    (/root/reference/tests/test_cascad.lua:3-38, tol 1e-5)."""
+    from jax.test_util import check_grads
+    g = make_geometry(ratios)
+    rng = np.random.RandomState(11)
+    n = len(g.ratios)
+    D = g.maxh * g.maxw
+    from jax import enable_x64
+
+    def f(*ds):
+        return sum(jnp.sum(o ** 2) for o in ms.cascade(g, list(ds)))
+
+    with enable_x64():   # f32 finite differences are too noisy here
+        dists = [jnp.asarray(rng.rand(2, D) + 0.1) for _ in range(n)]
+        check_grads(f, tuple(dists), order=1, modes=("fwd", "rev"),
+                    atol=1e-4, rtol=1e-4)
+
+
+def test_cascade_beta_gradient_check():
+    """Gradient check of the trainable-beta cascade w.r.t. both the inputs
+    and the beta weights (positive weights keep the Power branch smooth)."""
+    from jax.test_util import check_grads
+    g = make_geometry((1, 2))
+    rng = np.random.RandomState(12)
+    D = g.maxh * g.maxw
+    from jax import enable_x64
+
+    with enable_x64():
+        d0 = jnp.asarray(rng.rand(2, D) + 0.2)
+        d1 = jnp.asarray(rng.rand(2, D) + 0.2)
+        betas = jnp.asarray([[1.5, 0.7]], jnp.float64)
+
+        def f_inputs(d0, d1):
+            return sum(jnp.sum(o ** 2)
+                       for o in ms.cascade_beta(g, [d0, d1], betas))
+
+        check_grads(f_inputs, (d0, d1), order=1, modes=("rev",),
+                    atol=1e-4, rtol=1e-4)
+
+        # Beta gradients deliberately treat the Power normalizer as a
+        # CONSTANT (stop_gradient) — the reference updates it only after
+        # each SGD step (updateNormalizers, CascadingAddTable.lua:93-105).
+        # So validate jax.grad against finite differences of the math with
+        # the pow FROZEN at its unperturbed value.
+        M = jnp.asarray(ms._cascade_onehot(g.maxh, g.maxw, 2),
+                        jnp.float64)
+        pw0 = -1.0 / np.sqrt(float(betas[0, 0] * betas[0, 1]))
+
+        def f_frozen(b):
+            s = b[0, 0] * d0 + b[0, 1] * (d1 @ M)
+            return jnp.sum(jnp.power(s, pw0) ** 2) + jnp.sum(d1 ** 2)
+
+        def f_full(b):
+            return sum(jnp.sum(o ** 2)
+                       for o in ms.cascade_beta(g, [d0, d1], b))
+
+        gb = np.asarray(jax.grad(f_full)(betas))
+        eps = 1e-6
+        for i in range(2):
+            bp = betas.at[0, i].add(eps)
+            bm = betas.at[0, i].add(-eps)
+            fd = (float(f_frozen(bp)) - float(f_frozen(bm))) / (2 * eps)
+            np.testing.assert_allclose(gb[0, i], fd, rtol=1e-4)

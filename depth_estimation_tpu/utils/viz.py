@@ -59,6 +59,81 @@ def kernels_image(kernel: np.ndarray, pad: int = 1) -> np.ndarray:
     return canvas
 
 
+def middlebury_wheel() -> np.ndarray:
+    """The standard Middlebury optical-flow color wheel (55 colors) used by
+    Liu's flowToColor — the colormap of the bundled reference renders
+    (/root/reference/celiu/output/*_flow.jpg)."""
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    n = RY + YG + GC + CB + BM + MR
+    wheel = np.zeros((n, 3))
+    c = 0
+    wheel[c:c + RY, 0] = 255
+    wheel[c:c + RY, 1] = np.floor(255 * np.arange(RY) / RY); c += RY
+    wheel[c:c + YG, 0] = 255 - np.floor(255 * np.arange(YG) / YG)
+    wheel[c:c + YG, 1] = 255; c += YG
+    wheel[c:c + GC, 1] = 255
+    wheel[c:c + GC, 2] = np.floor(255 * np.arange(GC) / GC); c += GC
+    wheel[c:c + CB, 1] = 255 - np.floor(255 * np.arange(CB) / CB)
+    wheel[c:c + CB, 2] = 255; c += CB
+    wheel[c:c + BM, 2] = 255
+    wheel[c:c + BM, 0] = np.floor(255 * np.arange(BM) / BM); c += BM
+    wheel[c:c + MR, 2] = 255 - np.floor(255 * np.arange(MR) / MR)
+    wheel[c:c + MR, 0] = 255
+    return wheel
+
+
+def flow_to_color_middlebury(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Middlebury flow colorization (Liu flowToColor semantics): hue =
+    direction via the 55-color wheel, saturation = radius / max radius.
+    Returns (H, W, 3) uint8."""
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    rad = np.sqrt(u * u + v * v)
+    maxrad = max(float(rad.max()), 1e-9)
+    un, vn, radn = u / maxrad, v / maxrad, rad / maxrad
+    wheel = middlebury_wheel()
+    n = wheel.shape[0]
+    a = np.arctan2(-vn, -un) / np.pi
+    fk = (a + 1) / 2 * (n - 1)
+    k0 = np.floor(fk).astype(int)
+    k1 = (k0 + 1) % n
+    f = fk - k0
+    img = np.zeros(u.shape + (3,), np.uint8)
+    for ch in range(3):
+        col0 = wheel[k0, ch] / 255
+        col1 = wheel[k1, ch] / 255
+        col = (1 - f) * col0 + f * col1
+        col = 1 - radn * (1 - col)
+        img[..., ch] = np.floor(255 * col)
+    return img
+
+
+def color_to_flow_direction(img: np.ndarray):
+    """Inverse of the wheel's hue mapping: per-pixel unit flow direction
+    (ux, uy) and a saturation proxy, for comparing against rendered flow
+    images whose normalization is unknown."""
+    rgb = np.asarray(img, np.float64) / 255.0
+    mx = rgb.max(-1)
+    mn = rgb.min(-1)
+    sat = mx - mn                      # distance from white ~ radius
+    wheel = middlebury_wheel() / 255.0
+    n = wheel.shape[0]
+    # angle of each wheel entry
+    ks = np.arange(n)
+    angs = (2.0 * ks / (n - 1) - 1.0) * np.pi      # a*pi where fk=k
+    # match each pixel to the nearest wheel hue (chroma-normalized)
+    chroma = rgb - mn[..., None]
+    cn = chroma / np.maximum(sat[..., None], 1e-9)
+    wmin = wheel.min(-1, keepdims=True)
+    wnorm = (wheel - wmin) / np.maximum(wheel.max(-1, keepdims=True) - wmin,
+                                        1e-9)
+    d = ((cn[..., None, :] - wnorm[None, None]) ** 2).sum(-1)
+    k = np.argmin(d, axis=-1)
+    a = angs[k]
+    # a = atan2(-v, -u): invert
+    return -np.cos(a), -np.sin(a), sat
+
+
 def save_image(path: str, img: np.ndarray) -> None:
     """img: (3, H, W) or (H, W) float in [0, 1]."""
     from PIL import Image

@@ -36,9 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nl", "--num-layers", type=int, default=2, choices=(1, 2, 3))
     p.add_argument("-s2", "--layer-two-size", type=int, default=8)
     p.add_argument("-s2c", "--layer-two-connections", type=int, default=4,
-                   help="(parity; dense convs ignore the sparse table)")
+                   help="sparse fan-in of layer 2 (random connection map "
+                        "when != layer-two-size)")
     p.add_argument("-s3", "--layer-three-size", type=int, default=8)
-    p.add_argument("-s3c", "--layer-three-connections", type=int, default=4)
+    p.add_argument("-s3c", "--layer-three-connections", type=int, default=4,
+                   help="sparse fan-in of layer 3")
     p.add_argument("-ms", "--multiscale", type=int, default=0,
                    help="number of scales (0 disables)")
     p.add_argument("-sf", "--share-filters", action="store_true")
@@ -86,15 +88,19 @@ def geometry_from_args(args):
 
     nci, nf = args.n_channels_in, args.n_features
     k1, k2, k3 = args.kernel1_size, args.kernel2_size, args.kernel3_size
+    # layer 2+'s first element is the sparse fan-in (-s2c/-s3c), exactly as
+    # the reference builds geometry.layers (opticalflow.lua:156-170): when
+    # it differs from the previous cout, getFilter makes the layer a random
+    # sparse connection map (SparseConvMap in models/filters.py)
     if args.num_layers == 1:
         layers = ((nci, k1, k1, nf),)
     elif args.num_layers == 2:
         layers = ((nci, k1, k1, args.layer_two_size),
-                  (args.layer_two_size, k2, k2, nf))
+                  (args.layer_two_connections, k2, k2, nf))
     else:
         layers = ((nci, k1, k1, args.layer_two_size),
-                  (args.layer_two_size, k2, k2, args.layer_three_size),
-                  (args.layer_three_size, k3, k3, nf))
+                  (args.layer_two_connections, k2, k2, args.layer_three_size),
+                  (args.layer_three_connections, k3, k3, nf))
 
     maxw_hr = args.window_size
     maxh_hr = args.window_size_height or args.window_size

@@ -4,9 +4,9 @@ Rebuilds getFilter (/root/reference/opticalflow_model.lua:45-79): a stack of
 VALID convolutions with Tanh between layers (none after the last). The
 reference uses nn.SpatialConvolutionMap with a random sparse connection table
 when consecutive layer channel counts don't chain
-(/root/reference/opticalflow_model.lua:56-59); sparse random connectivity is
-an anti-pattern on the MXU (it was a 2012 FLOP-saving trick), so we use dense
-convolutions — a strict superset in capacity — and keep the layer-spec format.
+(/root/reference/opticalflow_model.lua:56-59), reproduced here by
+SparseConvMap: the reference's sparse parameter count, scattered into a
+dense kernel at apply time so the conv still runs dense on the MXU.
 
 Layout is NHWC (TPU-native). Weights are named ``layer1..layerN`` to mirror
 the reference's named-weights checkpoint payload
@@ -16,13 +16,73 @@ the reference's named-weights checkpoint payload
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import Geometry
 
 
+def random_connection_table(nin: int, nout: int, nto: int,
+                            seed: int = 0) -> np.ndarray:
+    """(nout, nto) int table: each output channel's nto distinct input
+    channels — the clean-room equivalent of nn.tables.random(nin, nout,
+    nto). Fixed seed so the topology is part of the architecture (the
+    reference freezes its table at module construction)."""
+    rng = np.random.RandomState(seed)
+    return np.stack([rng.choice(nin, size=nto, replace=False)
+                     for _ in range(nout)])
+
+
+class SparseConvMap(nn.Module):
+    """nn.SpatialConvolutionMap(nn.tables.random(nin, nout, nto))
+    (/root/reference/opticalflow_model.lua:56-59): each output map reads a
+    fixed random subset of nto input channels. Parameters are exactly the
+    sparse (kh, kw, nto, nout) kernel (reference parameter count); at apply
+    time it is scattered into a dense (kh, kw, nin, nout) kernel so the
+    conv still runs dense on the MXU — sparse-random connectivity was a
+    2012 FLOP-saving trick, not something a systolic array wants."""
+
+    nin: int
+    nout: int
+    nto: int
+    kh: int
+    kw: int
+    seed: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        table = random_connection_table(self.nin, self.nout, self.nto,
+                                        self.seed)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3, "fan_in", "uniform",
+                                             in_axis=(0, 1, 2)),
+            (self.kh, self.kw, self.nto, self.nout))
+        bias = self.param("bias", nn.initializers.zeros, (self.nout,))
+        # scatter sparse -> dense: one-hot (nout, nto, nin) selection
+        onehot = np.zeros((self.nout, self.nto, self.nin), np.float32)
+        for o in range(self.nout):
+            for j in range(self.nto):
+                onehot[o, j, table[o, j]] = 1.0
+        dense = jnp.einsum("hwjo,ojn->hwno", kernel.astype(jnp.float32),
+                           jnp.asarray(onehot)).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x[None] if x.ndim == 3 else x, dense,
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + bias.astype(y.dtype)
+        return y[0] if x.ndim == 3 else y
+
+
 class ConvFilter(nn.Module):
-    """Feature trunk: geometry.layers = ((cin, kh, kw, cout), ...)."""
+    """Feature trunk: geometry.layers = ((cin, kh, kw, cout), ...).
+
+    When a layer's nominal cin differs from the previous layer's cout, the
+    reference builds a sparse random connection table with fan-in cin over
+    the actual prev_cout channels (getFilter,
+    /root/reference/opticalflow_model.lua:53-59; the trainer's -s2c/-s3c
+    flags feed that first element) — reproduced here by SparseConvMap."""
 
     geometry: Geometry
 
@@ -30,13 +90,19 @@ class ConvFilter(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         layers = self.geometry.layers
         for i, (cin, kh, kw, cout) in enumerate(layers):
-            x = nn.Conv(
-                features=cout,
-                kernel_size=(kh, kw),
-                padding="VALID",
-                name=f"layer{i + 1}",
-                dtype=x.dtype,
-            )(x)
+            prev_cout = layers[i - 1][3] if i > 0 else cin
+            if i > 0 and prev_cout != cin:
+                x = SparseConvMap(
+                    nin=prev_cout, nout=cout, nto=cin, kh=kh, kw=kw,
+                    name=f"layer{i + 1}")(x)
+            else:
+                x = nn.Conv(
+                    features=cout,
+                    kernel_size=(kh, kw),
+                    padding="VALID",
+                    name=f"layer{i + 1}",
+                    dtype=x.dtype,
+                )(x)
             if i != len(layers) - 1:
                 x = nn.tanh(x)
         return x

@@ -145,8 +145,10 @@ def save_image(path: str, img: np.ndarray) -> None:
 
 def export_video(frame_dir: str, out_path: str, fps: int = 10,
                  pattern: str = "%09d.png") -> bool:
-    """ffmpeg export (test_opticalflow.lua:394). Returns False if ffmpeg is
-    unavailable (gated, not required)."""
+    """ffmpeg export (test_opticalflow.lua:394). Without ffmpeg, falls back
+    to an animated GIF next to ``out_path`` (the reference itself ships its
+    demo sequences as GIFs, celiu/output/*.gif). Returns False only when
+    neither export produced a file."""
     try:
         subprocess.run(
             ["ffmpeg", "-y", "-r", str(fps), "-i",
@@ -154,4 +156,17 @@ def export_video(frame_dir: str, out_path: str, fps: int = 10,
             check=True, capture_output=True)
         return True
     except (FileNotFoundError, subprocess.CalledProcessError):
+        pass
+    try:
+        from PIL import Image
+        frames = sorted(
+            f for f in os.listdir(frame_dir) if f.endswith(".png"))
+        if not frames:
+            return False
+        imgs = [Image.open(os.path.join(frame_dir, f)) for f in frames]
+        gif_path = os.path.splitext(out_path)[0] + ".gif"
+        imgs[0].save(gif_path, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 / fps), loop=0)
+        return True
+    except Exception:
         return False

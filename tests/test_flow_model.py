@@ -135,3 +135,58 @@ def test_enlarge_mask_erosion():
     assert got[1, 1]
     # borders are invalid (out-of-frame counts as invalid)
     assert not got[0, :].any()
+
+
+def test_sparse_conv_map_connectivity():
+    """SparseConvMap (SpatialConvolutionMap + nn.tables.random,
+    /root/reference/opticalflow_model.lua:56-59): each output channel must
+    depend ONLY on its table's nto input channels, and the parameter count
+    must be the reference's sparse count (kh*kw*nto*nout + nout)."""
+    import jax
+    from depth_estimation_tpu.models.filters import (SparseConvMap,
+                                                     random_connection_table)
+    nin, nout, nto, kh, kw = 8, 5, 3, 3, 3
+    m = SparseConvMap(nin=nin, nout=nout, nto=nto, kh=kh, kw=kw)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(10, 12, nin).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    k = params["params"]["kernel"]
+    assert k.shape == (kh, kw, nto, nout)
+    y0 = np.asarray(m.apply(params, x))
+    assert y0.shape == (8, 10, nout)
+
+    table = random_connection_table(nin, nout, nto)
+    for o in range(nout):
+        connected = set(int(c) for c in table[o])
+        not_connected = [c for c in range(nin) if c not in connected]
+        assert not_connected, "test needs nto < nin"
+        x2 = np.asarray(x).copy()
+        x2[..., not_connected] += rng.rand(10, 12, len(not_connected))
+        y2 = np.asarray(m.apply(params, jnp.asarray(x2)))
+        np.testing.assert_allclose(y2[..., o], y0[..., o], atol=1e-5)
+        # and perturbing a connected channel DOES change the output
+        x3 = np.asarray(x).copy()
+        x3[..., int(table[o][0])] += 1.0
+        y3 = np.asarray(m.apply(params, jnp.asarray(x3)))
+        assert np.abs(y3[..., o] - y0[..., o]).max() > 1e-4
+
+
+def test_conv_filter_builds_sparse_layer_on_chain_mismatch():
+    """geometry.layers with cin != prev cout -> sparse layer with fan-in
+    cin (the trainer's -s2c semantics, opticalflow.lua:156-161)."""
+    import jax
+    from depth_estimation_tpu.models.filters import ConvFilter
+    g = Geometry(hImg=48, wImg=56, layers=((3, 5, 5, 8), (4, 5, 5, 6)),
+                 maxh=4, maxw=4, maxhGT=4, maxwGT=4,
+                 hKernelGT=9, wKernelGT=9)
+    f = ConvFilter(g)
+    x = jnp.zeros((20, 22, 3), jnp.float32)
+    params = f.init(jax.random.PRNGKey(0), x)
+    l2 = params["params"]["layer2"]
+    assert l2["kernel"].shape == (5, 5, 4, 6)   # sparse fan-in 4 of 8
+    y = f.apply(params, x)
+    assert y.shape == (12, 14, 6)
+    # gradient flows through the scatter
+    loss = lambda p: jnp.sum(f.apply(p, x + 0.5) ** 2)
+    grads = jax.grad(loss)(params)
+    assert np.abs(np.asarray(grads["params"]["layer2"]["kernel"])).max() > 0

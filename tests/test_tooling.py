@@ -79,3 +79,21 @@ def test_kernels_image_and_profiler_span():
     with profiled_span("test-span"):
         x = jnp.ones(8).sum()
     assert float(x) == 8.0
+
+
+def test_export_video_gif_fallback(tmp_path):
+    """Without ffmpeg the video export must still produce an animated GIF
+    (the reference ships its own demo sequences as GIFs)."""
+    import numpy as np
+    from PIL import Image
+    from depth_estimation_tpu.utils.viz import export_video
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(3):
+        arr = np.full((16, 20, 3), i * 80, np.uint8)
+        Image.fromarray(arr).save(d / f"{i:09d}.png")
+    out = str(tmp_path / "movie.mp4")
+    assert export_video(str(d), out, fps=5)
+    import os
+    assert os.path.exists(out) or os.path.exists(str(tmp_path / "movie.gif"))

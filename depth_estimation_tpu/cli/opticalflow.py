@@ -72,7 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "motion, the documented runs' default), mc (4-DoF "
                         "RANSAC homography, motion_correction.lua), none")
     p.add_argument("-gt", "--groundtruth", default="cross-correlation",
-                   choices=("cross-correlation", "liu"))
+                   choices=("cross-correlation", "cc-mean", "liu"),
+                   help="GT generator: exhaustive matching with WTA "
+                        "(cross-correlation) or soft-argmax (cc-mean) "
+                        "decode, or the variational solver (liu)")
     p.add_argument("-nci", "--n-channels-in", type=int, default=3)
     p.add_argument("-cal", "--calibration", default="ardrone",
                    help="calibration preset name")
@@ -180,7 +183,8 @@ def main(argv=None) -> int:
         first=args.first_image, delta=args.delta,
         cache_root=args.root_directory,
         motion_correction=(None if args.motion_correction == "none"
-                           else args.motion_correction))
+                           else args.motion_correction),
+        groundtruth=args.groundtruth)
     images = raw["warped_images"]
     currents = raw["images"]
     flows = raw["flow"]

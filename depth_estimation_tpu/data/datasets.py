@@ -54,8 +54,12 @@ class RectifiedPair:
 def load_rectified_pair(
     geom: Geometry, cal: Calibration, prev: np.ndarray, img: np.ndarray,
     cache_root: Optional[str] = None, name: str = "",
-    compute_gt: bool = True,
+    compute_gt: bool = True, groundtruth: str = "cross-correlation",
 ) -> RectifiedPair:
+    """SFM-rectified pair. ``groundtruth`` selects the GT generator
+    (learning.groundtruth, /root/reference/groundtruth_opticalflow.lua:255,
+    297-304): 'cross-correlation' (exhaustive WTA), 'cc-mean' (exhaustive
+    soft-argmax) or 'liu' (variational solver)."""
     prev_u = undist.undistort_image(jnp.asarray(prev), cal.K, cal.distortion)
     img_u = undist.undistort_image(jnp.asarray(img), cal.K, cal.distortion)
     em = ego.get_ego_motion(prev_u, img_u, cal.K,
@@ -78,16 +82,32 @@ def load_rectified_pair(
                       np.float32)
     flow = conf = None
     if compute_gt:
-        if cache_root is not None and name:
-            fy, fx, conf = gt_mod.cached_exhaustive_flow(
-                cache_root, geom, 1, name, warped, img_s)
-        else:
-            fy, fx, conf = gt_mod.exhaustive_flow(geom, warped, img_s)
+        fy, fx, conf = _compute_gt(geom, warped, img_s, cache_root, name,
+                                   groundtruth)
         # the reference quantizes GT: (flow+0.5):floor()
         # (groundtruth_opticalflow.lua:345)
         flow = np.floor(np.stack([fy, fx]) + 0.5).astype(np.float32)
     return RectifiedPair(np.asarray(warped), np.asarray(img_s), mask,
                          flow, conf, True)
+
+
+def _compute_gt(geom, warped, img_s, cache_root, name, groundtruth):
+    """GT generator dispatch (learning.groundtruth): exhaustive matching
+    with WTA ('cross-correlation') or soft-argmax ('cc-mean') decode, or
+    the variational solver ('liu')."""
+    if groundtruth == "liu":
+        if cache_root is not None and name:
+            fy, fx = gt_mod.cached_liu_flow(cache_root, geom, 1, name,
+                                            np.asarray(warped),
+                                            np.asarray(img_s))
+        else:
+            fy, fx = gt_mod.liu_flow(warped, img_s)
+        return fy, fx, None
+    method = "mean" if groundtruth == "cc-mean" else "max"
+    if cache_root is not None and name:
+        return gt_mod.cached_exhaustive_flow(
+            cache_root, geom, 1, name, warped, img_s, method)
+    return gt_mod.exhaustive_flow(geom, warped, img_s, method)
 
 
 def load_mc_pair(
@@ -225,6 +245,7 @@ def load_rectified_pairs_batched(
     geom: Geometry, cal: Calibration, frames: List[np.ndarray],
     cache_root: Optional[str] = None, names: Optional[List[str]] = None,
     compute_gt: bool = True, delta: int = 1,
+    groundtruth: str = "cross-correlation",
 ) -> List[RectifiedPair]:
     """Batched loadRectifiedImageOpticalFlow2 over consecutive frames:
     the whole rectification stack runs as one jitted program for all pairs
@@ -250,27 +271,37 @@ def load_rectified_pairs_batched(
     # GT: serve cache hits from disk, compute all misses in chunked batched
     # dispatches (one fetch per chunk instead of 3 per pair)
     gts: Dict[int, Tuple] = {}
-    if compute_gt:
+    if compute_gt and groundtruth == "liu":
+        # the variational solver crashes the TPU worker when vmapped past
+        # B=2 (see flow/celiu.py notes); per-pair with the disk cache
+        for k in range(B):
+            if good[k]:
+                name = names[k] if names else ""
+                gts[k] = _compute_gt(geom, warped[k], img_s[k],
+                                     cache_root, name, "liu")
+    elif compute_gt:
+        method = "mean" if groundtruth == "cc-mean" else "max"
         misses = []
         for k in range(B):
             if not good[k]:
                 continue
             name = names[k] if names else ""
             if cache_root is not None and name:
-                hit = gt_mod.load_cached_flow(cache_root, geom, 1, name)
+                hit = gt_mod.load_cached_flow(cache_root, geom, 1, name,
+                                              method)
                 if hit is not None:
                     gts[k] = hit
                     continue
             misses.append(k)
         if misses:
             fy, fx, conf = gt_mod.exhaustive_flow_batched(
-                geom, warped[misses], img_s[misses])
+                geom, warped[misses], img_s[misses], method=method)
             for j, k in enumerate(misses):
                 gts[k] = (fy[j], fx[j], conf[j])
                 name = names[k] if names else ""
                 if cache_root is not None and name:
                     gt_mod.store_cached_flow(cache_root, geom, 1, name,
-                                             fy[j], fx[j], conf[j])
+                                             fy[j], fx[j], conf[j], method)
 
     out = []
     for k in range(B):
@@ -293,6 +324,7 @@ def load_data_optical_flow(
     geom: Geometry, cal: Calibration, directory: str, n_images: int,
     first: int = 0, delta: int = 1, cache_root: Optional[str] = None,
     motion_correction: Optional[str] = "sfm",
+    groundtruth: str = "cross-correlation",
 ) -> Dict[str, list]:
     """Dataset assembly (loadDataOpticalFlowCCLiu,
     /root/reference/groundtruth_opticalflow.lua:350-413): consecutive frames
@@ -316,7 +348,8 @@ def load_data_optical_flow(
             raise ValueError(f"need >= 2 frames under {directory}")
         names = [f"{first + k * delta:09d}" for k in range(len(frames) - 1)]
         pairs = load_rectified_pairs_batched(geom, cal, frames,
-                                             cache_root, names)
+                                             cache_root, names,
+                                             groundtruth=groundtruth)
         for pair in pairs:
             raw["images"].append(pair.image)
             raw["warped_images"].append(pair.prev_warped)

@@ -90,26 +90,32 @@ def patch_ssd_costs(
 
 
 def exhaustive_flow(
-    geom: Geometry, img1: jnp.ndarray, img2: jnp.ndarray
+    geom: Geometry, img1: jnp.ndarray, img2: jnp.ndarray,
+    method: str = "max",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full-frame GT flow: returns (flow_y, flow_x, confidences), each
     (hImg, wImg), zero outside the valid matching interior — the contract of
-    getOpticalFlowFast (/root/reference/groundtruth_opticalflow.lua:81-86)."""
+    getOpticalFlowFast (/root/reference/groundtruth_opticalflow.lua:81-86).
+    ``method``: 'max' (WTA, groundtruth='cross-correlation') or 'mean'
+    (soft-argmax, groundtruth='cc-mean' — the {max,mean} cache split of
+    :296-304)."""
     gg = gt_geometry(geom)
     costs = patch_ssd_costs(
         jnp.asarray(img1), jnp.asarray(img2),
         gg.hKernelGT, gg.wKernelGT, gg.maxh, gg.maxw,
     )
     dist = jax.nn.softmax(-costs, axis=-1)
-    out = flow_model.process_output(gg, dist, process_full=True, threshold=None)
-    outc = flow_model.process_output(gg, dist, process_full=True, threshold=0.0)
+    out = flow_model.process_output(gg, dist, process_full=True,
+                                    threshold=None, method=method)
+    outc = flow_model.process_output(gg, dist, process_full=True,
+                                     threshold=0.0, method=method)
     return (np.asarray(out.full[0]), np.asarray(out.full[1]),
             np.asarray(outc.full_confidences))
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def _exhaustive_batch_jit(geom: Geometry, imgs1: jnp.ndarray,
-                          imgs2: jnp.ndarray):
+                          imgs2: jnp.ndarray, method: str = "max"):
     gg = gt_geometry(geom)
 
     def one(img1, img2):
@@ -117,9 +123,9 @@ def _exhaustive_batch_jit(geom: Geometry, imgs1: jnp.ndarray,
                                 gg.maxh, gg.maxw)
         dist = jax.nn.softmax(-costs, axis=-1)
         out = flow_model.process_output(gg, dist, process_full=True,
-                                        threshold=None)
+                                        threshold=None, method=method)
         outc = flow_model.process_output(gg, dist, process_full=True,
-                                         threshold=0.0)
+                                         threshold=0.0, method=method)
         return out.full[0], out.full[1], outc.full_confidences
 
     return jax.vmap(one)(imgs1, imgs2)
@@ -127,6 +133,7 @@ def _exhaustive_batch_jit(geom: Geometry, imgs1: jnp.ndarray,
 
 def exhaustive_flow_batched(
     geom: Geometry, imgs1: np.ndarray, imgs2: np.ndarray, chunk: int = 8,
+    method: str = "max",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched getOpticalFlowFast over a (B, H, W, C) stack of pairs:
     ceil(B/chunk) dispatches + one fetch each, vs a dispatch + 3 fetches
@@ -145,7 +152,7 @@ def exhaustive_flow_batched(
             a = np.pad(a, reps, mode="edge")
             b = np.pad(b, reps, mode="edge")
         fy, fx, conf = _exhaustive_batch_jit(geom, jnp.asarray(a),
-                                             jnp.asarray(b))
+                                             jnp.asarray(b), method)
         fys.append(np.asarray(fy)[:n])
         fxs.append(np.asarray(fx)[:n])
         confs.append(np.asarray(conf)[:n])
@@ -156,10 +163,13 @@ def exhaustive_flow_batched(
 # Disk cache (parameter-encoded paths, like the reference)
 # ---------------------------------------------------------------------------
 
-def _cache_path(root: str, geom: Geometry, delta: int, name: str) -> str:
+def _cache_path(root: str, geom: Geometry, delta: int, name: str,
+                method: str = "max") -> str:
+    # the reference's {max,mean} cache split (groundtruth_opticalflow.lua
+    # :296-304): 'cross-correlation' -> max/, 'cc-mean' -> mean/
     return os.path.join(
         root, "flow", f"{geom.wImg}x{geom.hImg}",
-        f"{geom.maxwGT}x{geom.wKernelGT}", "max", str(delta), name + ".npz"
+        f"{geom.maxwGT}x{geom.wKernelGT}", method, str(delta), name + ".npz"
     )
 
 
@@ -196,11 +206,12 @@ def cached_liu_flow(root: str, geom: Geometry, delta: int, name: str,
     return fy, fx
 
 
-def load_cached_flow(root: str, geom: Geometry, delta: int, name: str
+def load_cached_flow(root: str, geom: Geometry, delta: int, name: str,
+                     method: str = "max"
                      ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Cache read with the reference's size check (recompute on mismatch,
     /root/reference/groundtruth_opticalflow.lua:167-188). None on miss."""
-    path = _cache_path(root, geom, delta, name)
+    path = _cache_path(root, geom, delta, name, method)
     if os.path.exists(path):
         z = np.load(path)
         fy, fx, conf = z["fy"], z["fx"], z["conf"]
@@ -211,20 +222,20 @@ def load_cached_flow(root: str, geom: Geometry, delta: int, name: str
 
 def store_cached_flow(root: str, geom: Geometry, delta: int, name: str,
                       fy: np.ndarray, fx: np.ndarray,
-                      conf: np.ndarray) -> None:
-    path = _cache_path(root, geom, delta, name)
+                      conf: np.ndarray, method: str = "max") -> None:
+    path = _cache_path(root, geom, delta, name, method)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, fy=fy, fx=fx, conf=conf)
 
 
 def cached_exhaustive_flow(
     root: str, geom: Geometry, delta: int, name: str,
-    img1: jnp.ndarray, img2: jnp.ndarray,
+    img1: jnp.ndarray, img2: jnp.ndarray, method: str = "max",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Compute-on-miss GT cache."""
-    hit = load_cached_flow(root, geom, delta, name)
+    hit = load_cached_flow(root, geom, delta, name, method)
     if hit is not None:
         return hit
-    fy, fx, conf = exhaustive_flow(geom, img1, img2)
-    store_cached_flow(root, geom, delta, name, fy, fx, conf)
+    fy, fx, conf = exhaustive_flow(geom, img1, img2, method)
+    store_cached_flow(root, geom, delta, name, fy, fx, conf, method)
     return fy, fx, conf

@@ -146,16 +146,42 @@ def process_output(
     dist: jnp.ndarray,
     process_full: bool = True,
     threshold: Optional[float] = None,
+    method: str = "max",
 ) -> FlowOutput:
     """Decode a window distribution (H'', W'', D) into flow.
 
-    Port of processOutput 'max' path (/root/reference/opticalflow_model.lua:201-252):
-    WTA with middle tie-break (no threshold) or extract_output confidences
-    (with threshold), then full-frame assembly with centered zero padding.
+    Port of processOutput (/root/reference/opticalflow_model.lua:201-252),
+    honoring geometry.output_extraction_method: 'max' = WTA with middle
+    tie-break (no threshold) or extract_output confidences (with
+    threshold); 'mean' = soft-argmax expectation decode
+    (getOutputConfidences2) — the 'cc-mean' GT variant's head. Both then
+    assemble the full frame with centered zero padding.
     """
     from ..ops import extract
 
     mid = codecs.middle_index(geom)
+    if method == "mean":
+        ey, ex = soft_argmax(geom, dist)
+        # confidence gate of the mean head: y-marginal mass above threshold
+        # (getOutputConfidences2, opticalflow_model.lua:192-196)
+        if threshold is None:
+            confidences = jnp.ones(ey.shape, dist.dtype)
+        else:
+            pmax = jnp.max(dist, axis=-1)
+            confidences = (pmax > threshold).astype(dist.dtype)
+        out = FlowOutput(index=None, y=ey, x=ex, confidences=confidences)
+        if process_full:
+            H, W = ey.shape[-2], ey.shape[-1]
+            hoff = (geom.hImg - H) // 2
+            woff = (geom.wImg - W) // 2
+            full = jnp.zeros((2, geom.hImg, geom.wImg), dist.dtype)
+            full = full.at[0, hoff:hoff + H, woff:woff + W].set(ey)
+            full = full.at[1, hoff:hoff + H, woff:woff + W].set(ex)
+            fullc = jnp.zeros((geom.hImg, geom.wImg), dist.dtype)
+            fullc = fullc.at[hoff:hoff + H, woff:woff + W].set(confidences)
+            out.full = full
+            out.full_confidences = fullc
+        return out
     if threshold is None:
         # argmax + flat-pixel tie-break; scores are -dist? No: dist is the
         # softmax distribution, WTA = argmax with middle preference.

@@ -100,3 +100,71 @@ def test_eval_flow_scores():
     s2 = score.eval_flow(g, out2, gt)
     assert s2.n_near == 1 and s2.n_bad == 1
     assert s2.mean_dst > 0
+
+
+def test_cc_mean_gt_method(tmp_path):
+    """'cc-mean' GT (soft-argmax decode, the mean/ cache split of
+    groundtruth_opticalflow.lua:296-304): recovers a constant shift with
+    fractional precision, and caches under the mean/ directory."""
+    import os
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+
+    g = Geometry(hImg=48, wImg=64, layers=((3, 5, 5, 8),),
+                 maxh=6, maxw=6, maxhGT=6, maxwGT=6,
+                 hKernelGT=5, wKernelGT=5)
+    rng = np.random.RandomState(5)
+    # high contrast keeps softmax(-SSD) peaked, so the expectation decode
+    # doesn't shrink toward the window center
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(48, 80, 3).astype(np.float32)), 1.0, 3)) * 4.0
+    dx = 2
+    im1 = base[:, 8:72]
+    im2 = base[:, 8 - dx:72 - dx]
+    fy_m, fx_m, conf_m = groundtruth.exhaustive_flow(g, im1, im2,
+                                                     method="mean")
+    fy_x, fx_x, conf_x = groundtruth.exhaustive_flow(g, im1, im2,
+                                                     method="max")
+    inner = np.s_[12:-12, 12:-12]
+    # WTA is integer-valued; the mean head is a continuous expectation
+    assert np.allclose(fx_x[inner], np.round(fx_x[inner]))
+    assert abs(np.median(fx_m[inner]) - dx) < 0.3
+    assert not np.allclose(fx_m[inner], np.round(fx_m[inner]))
+    # batched path agrees with the single path for the mean method
+    bfy, bfx, bconf = groundtruth.exhaustive_flow_batched(
+        g, np.stack([im1]), np.stack([im2]), method="mean")
+    np.testing.assert_allclose(bfx[0], fx_m, atol=1e-5)
+    # cache split: mean/ and max/ are distinct directories
+    groundtruth.cached_exhaustive_flow(str(tmp_path), g, 1, "f0", im1, im2,
+                                       "mean")
+    groundtruth.cached_exhaustive_flow(str(tmp_path), g, 1, "f0", im1, im2,
+                                       "max")
+    root = tmp_path / "flow" / "64x48" / "6x5"
+    assert (root / "mean" / "1" / "f0.npz").exists()
+    assert (root / "max" / "1" / "f0.npz").exists()
+
+
+def test_liu_groundtruth_selected_by_loader(tmp_path):
+    """-gt liu must actually route GT through the variational solver
+    (previously the loader silently computed cross-correlation GT)."""
+    import dataclasses as dc
+    from depth_estimation_tpu.data import datasets
+    from depth_estimation_tpu.geometry3d import calibration
+    from tests.test_datasets import make_sequence, small_cal
+
+    g = Geometry(hImg=64, wImg=80, layers=((3, 5, 5, 8),),
+                 maxh=6, maxw=6, maxhGT=6, maxwGT=6,
+                 hKernelGT=5, wKernelGT=5)
+    cal = small_cal(64, 80)
+    root = make_sequence(tmp_path, n=3)
+    raw = datasets.load_data_optical_flow(
+        g, cal, root, 3, cache_root=str(tmp_path / "c"), groundtruth="liu")
+    good = [f for f in raw["flow"] if f is not None]
+    assert good, "no good pairs"
+    # liu GT is cached as png-equivalent npz under the celiu cache dir
+    import os
+    found = []
+    for dirpath, _, files in os.walk(tmp_path / "c"):
+        found.extend(os.path.join(dirpath, f) for f in files)
+    assert found, "liu GT cache not written"
+    # rotation-compensated pan: x-flow magnitude bounded by the pan size
+    assert np.abs(good[0][1]).max() <= 4

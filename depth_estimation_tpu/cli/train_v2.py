@@ -49,6 +49,8 @@ def main(argv=None) -> int:
 
     ds = ds_mod.FlowDataset(geom, cal, args.root_directory,
                             cache_root=args.root_directory)
+    # -ni limits the frames consumed (previously parsed but unused)
+    ds.names = ds.names[: args.num_input_images]
     rng = np.random.RandomState(0)
     patches = ds.get_patches(args.n_train_set, rng, Learning())
 

@@ -86,6 +86,20 @@ class RadialFlowNetwork:
         return jax.nn.log_softmax(-self.costs(params, polar_prev, polar_curr),
                                   axis=-1)
 
+    @staticmethod
+    def filter_output_trainer(logp: jnp.ndarray, threshold: float
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """filterOutputTrainer (/root/reference/radial/
+        radial_opticalflow_filtering.lua:3-8): WTA class index + confidence
+        gate exp(max log-prob) >= threshold. NOTE: the reference's training
+        loop disables the gate (`if good or true`,
+        train_radial_opticalflow.lua:231); provided for parity and for
+        callers that want the gate live. logp (..., hWin) ->
+        (idx (...,) int32, good (...,) bool)."""
+        m = jnp.max(logp, axis=-1)
+        idx = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        return idx, jnp.exp(m) >= threshold
+
     def flow(self, params, polar_prev, polar_curr) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Tester decode: WTA radial flow (argmin over hWin) and min cost
         (test_radial_opticalflow.lua:205-207). Returns (flow, min_cost)."""

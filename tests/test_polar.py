@@ -103,3 +103,14 @@ def test_pad_output_centering():
     assert out.sum() == 2 * 10 * 12
     # centered: reference ceil(dh/2)-1 0-based start = ceil(10/2)-1 = 4
     assert out[0, 4, 4] == 1 and out[0, 3, 4] == 0
+
+
+def test_filter_output_trainer_gate():
+    """filterOutputTrainer parity (radial_opticalflow_filtering.lua:3-8):
+    WTA index plus exp(max logp) >= threshold confidence gate."""
+    from depth_estimation_tpu.models.radial import RadialFlowNetwork
+    logp = jnp.log(jnp.asarray([[0.7, 0.2, 0.1],
+                                [0.4, 0.35, 0.25]], jnp.float32))
+    idx, good = RadialFlowNetwork.filter_output_trainer(logp, 0.5)
+    np.testing.assert_array_equal(np.asarray(idx), [0, 0])
+    np.testing.assert_array_equal(np.asarray(good), [True, False])

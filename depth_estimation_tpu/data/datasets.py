@@ -509,7 +509,23 @@ def load_polar_pair(
     geom_gt: Optional[Geometry] = None, max_flow: Optional[float] = None,
 ) -> PolarPair:
     """One step of the radial load_dataset loop
-    (radial_opticalflow_data.lua:182-288)."""
+    (radial_opticalflow_data.lua:182-288) — delegates to the fused device
+    program (one dispatch instead of ~8 per pair; matters in the streaming
+    tester on the tunneled TPU). ``load_polar_pair_reference`` keeps the
+    step-by-step host formulation the equivalence test pins against."""
+    return load_polar_pairs_batched(
+        cal, [np.asarray(prev), np.asarray(img)], h_img, w_img,
+        h_input, w_input, w_kernel, geom_gt, max_flow)[0]
+
+
+def load_polar_pair_reference(
+    cal: Calibration, prev: np.ndarray, img: np.ndarray,
+    h_img: int, w_img: int, h_input: int, w_input: int, w_kernel: int,
+    geom_gt: Optional[Geometry] = None, max_flow: Optional[float] = None,
+) -> PolarPair:
+    """Step-by-step per-pair formulation (the literal
+    radial_opticalflow_data.lua:182-288 port); kept as the semantic
+    reference for the batched/fused path."""
     em = ego.get_ego_motion(jnp.asarray(prev), jnp.asarray(img), cal.K,
                             max_points=cal.sfm.max_points,
                             quality=cal.sfm.points_quality)

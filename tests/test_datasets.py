@@ -322,7 +322,7 @@ def test_batched_rectification_matches_per_pair(tmp_path):
 
 def test_batched_polar_loader_matches_per_pair(tmp_path):
     """load_polar_pairs_batched (fused device program for all pairs) must
-    reproduce the per-pair load_polar_pair: same tracker key, same polar
+    reproduce the per-pair reference formulation: same tracker key, same polar
     grids, same projected GT."""
     from depth_estimation_tpu.flow.celiu import bilinear_sample, gaussian_smooth
 
@@ -355,7 +355,7 @@ def test_batched_polar_loader_matches_per_pair(tmp_path):
         cal, frames, H, W, hi, wi, wk, geom_gt=gg, max_flow=6.0)
     assert len(batched) == 2
     for k in range(2):
-        single = datasets.load_polar_pair(
+        single = datasets.load_polar_pair_reference(
             cal, frames[k], frames[k + 1], H, W, hi, wi, wk,
             geom_gt=gg, max_flow=6.0)
         assert batched[k].good == single.good

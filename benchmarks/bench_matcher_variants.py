@@ -35,8 +35,11 @@ def sync(x):
 
 VARIANTS = [
     ("pallas f32 b8", lambda: matching.match_flow_fused(f1, f2, maxh, maxw, 8)),
+    ("pallas bf16 b16", lambda: matching.match_flow_fused(
+        f1, f2, maxh, maxw, 16, False, False, jnp.bfloat16)),
     ("fast f32 b8", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 8)),
     ("fast f32 b16", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 16)),
+    ("mxu bf16 b8", lambda: matching.match_flow_mxu(f1, f2, maxh, maxw, 8)),
 ]
 
 if __name__ == "__main__":

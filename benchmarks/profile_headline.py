@@ -82,18 +82,18 @@ def main():
     print(f"  -> {bytes_acc/BATCH*fps/1e9:.1f} GB/s "
           f"({bytes_acc/BATCH*fps/819e9*100:.1f}% of HBM peak)")
 
-    # profiler trace
+    # profiler trace (gated helper — tunneled backends may refuse)
+    from depth_estimation_tpu.utils.timer import capture_trace
     trace_dir = os.path.join(os.path.dirname(__file__), "profiles")
     os.makedirs(trace_dir, exist_ok=True)
-    try:
-        with jax.profiler.trace(trace_dir):
-            out = compiled(params, fr1, fr2)
-            float(out[1][0, 0, 0])
+    with capture_trace(trace_dir) as started:
+        out = compiled(params, fr1, fr2)
+        float(out[1][0, 0, 0])
+    if started:
         print(f"trace written under {trace_dir}/ "
               "(tensorboard --logdir to inspect)")
-    except Exception as e:
-        print(f"trace capture unavailable on this backend: "
-              f"{type(e).__name__}: {str(e)[:160]}")
+    else:
+        print("trace capture unavailable on this backend")
 
 
 if __name__ == "__main__":

@@ -104,15 +104,14 @@ def main(argv=None) -> int:
                 # dense-flow baseline column: flow magnitude -> depth panel
                 # (reference: sfm2.getOpticalFlow Farneback + flow2depth,
                 # test_radial_opticalflow.lua:231-237)
-                from ..flow import celiu
+                from ..flow import get_optical_flow
                 timers.tic("dense")
                 ps = img_mod.scale(jnp.asarray(prev), args.h_input,
                                    args.w_input)
                 cs = img_mod.scale(jnp.asarray(img), args.h_input,
                                    args.w_input)
-                u, v, _ = celiu.coarse2fine_flow(
-                    ps, cs, alpha=0.02, ratio=0.75, min_width=30,
-                    n_outer=3, n_inner=1, n_sor=20)
+                u, v = get_optical_flow(ps, cs, ratio=0.75,
+                                        n_outer=3, n_sor=20)
                 mag = jnp.sqrt(u * u + v * v)
                 ddepth, dconfs = polar_ops.flow2depth(
                     args.h_input, args.w_input, mag,

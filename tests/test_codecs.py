@@ -106,3 +106,14 @@ def test_window_offsets_single():
         for dx in range(-g.halfw1, g.halfw2 + 1):
             assert tuple(off[k]) == (dy, dx)
             k += 1
+
+
+def test_default_geometry_canonical_config():
+    """default_geometry builds the reference's canonical single-scale
+    config and validates it."""
+    from depth_estimation_tpu.geometry import default_geometry
+    g = default_geometry()
+    assert (g.hImg, g.wImg) == (180, 320)
+    assert g.maxh == g.maxw == 16
+    g2 = default_geometry(maxh=8, maxw=8)
+    assert g2.maxh == 8

@@ -136,3 +136,34 @@ def test_sample_patches_matmul_matches_gather():
         b = egomotion._sample_patches_gather(img, pts, win)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_essential_fundamental_epipolar_constraint():
+    """essential_from_rt / fundamental_from_essential (the sfm2.getEgoMotion2
+    fundmat surface): correspondences generated by (R, T) must satisfy the
+    epipolar constraint x2^T F x1 = 0 in pixel coordinates."""
+    from depth_estimation_tpu.geometry3d.egomotion import (
+        essential_from_rt, fundamental_from_essential)
+    rng = np.random.RandomState(6)
+    th = 0.05
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    T = np.array([0.3, 0.1, 1.0], np.float32)
+    T = T / np.linalg.norm(T)
+    K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]], np.float32)
+    # random 3-D points in front of both cameras
+    P = rng.rand(50, 3).astype(np.float32) * [4, 3, 2] + [-2, -1.5, 4]
+    x1h = P @ K.T
+    x1 = x1h[:, :2] / x1h[:, 2:3]
+    P2 = P @ R.T + T
+    x2h = P2 @ K.T
+    x2 = x2h[:, :2] / x2h[:, 2:3]
+    E = np.asarray(essential_from_rt(R, T))
+    F = np.asarray(fundamental_from_essential(E, K))
+    ones = np.ones((50, 1), np.float32)
+    resid = np.einsum("ni,ij,nj->n", np.hstack([x2, ones]), F,
+                      np.hstack([x1, ones]))
+    # scale-normalized residual
+    resid = resid / (np.abs(F).max() * 200)
+    assert np.abs(resid).max() < 1e-3, np.abs(resid).max()

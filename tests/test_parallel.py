@@ -93,3 +93,16 @@ def test_dp_sharded_inference_matches_single_device(mesh8):
     i_u, ey_u, ex_u, pm_u = model.forward_fused(params, img1, img2)
     np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_u))
     np.testing.assert_allclose(np.asarray(ey_s), np.asarray(ey_u), atol=1e-5)
+
+
+def test_pad_to_multiple_for_sharding(mesh8):
+    """pad_to_multiple prepares ragged batches for the dp mesh (static
+    shard shapes); the valid count round-trips."""
+    from depth_estimation_tpu.parallel.mesh import pad_to_multiple, shard_batch
+    x = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    xp, n = pad_to_multiple(x, 8)
+    assert n == 10 and xp.shape[0] == 16
+    np.testing.assert_array_equal(xp[:10], x)
+    np.testing.assert_array_equal(xp[10:], np.repeat(x[-1:], 6, axis=0))
+    sharded = shard_batch(jnp.asarray(xp), mesh8, axis="sp")
+    assert sharded.shape == (16, 3)

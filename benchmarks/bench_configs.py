@@ -38,7 +38,9 @@ def timed(fn, n, per):
     return (time.perf_counter() - t0) / (n * per)
 
 
-def main():
+def main(only=None):
+    """Run all configs, or a subset (``only`` = set of config numbers, the
+    --only CLI flag) — focused re-measures merge into results.json."""
     from depth_estimation_tpu.data.images import load_image, scale
     from depth_estimation_tpu.geometry import Geometry
     from depth_estimation_tpu.models.flow import FlowModel, crop_features_center
@@ -46,139 +48,156 @@ def main():
     from depth_estimation_tpu.models.radial import RadialFlowNetwork
     from depth_estimation_tpu.ops import matching
 
+    def want(n):
+        return only is None or n in only
+
     results = {}
     rng = np.random.RandomState(0)
-
-    # ---- config 1: single-scale flow on the car pair (17x17 kernel/window)
-    g1 = Geometry(hImg=180, wImg=320, layers=((3, 17, 17, 10),),
-                  maxh=17, maxw=17)
-    m1 = FlowModel(g1)
-    p1 = m1.init(jax.random.PRNGKey(0))
     car1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
                             180, 320))
     car2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"),
                             180, 320))
-    B = 64
-    c1 = jnp.broadcast_to(jnp.asarray(car1), (B, 180, 320, 3))
-    c2 = jnp.broadcast_to(jnp.asarray(car2), (B, 180, 320, 3))
 
-    @jax.jit
-    def single_scale(prm, a, b):
-        f1 = crop_features_center(g1, m1.features(prm, a))
-        f2 = m1.features(prm, b)
-        # bf16 feature storage, same as the headline (see README roofline)
-        return matching.match_flow_fused(f1, f2, g1.maxh, g1.maxw, 16,
-                                         False, False, jnp.bfloat16)
+    if want(1):
+        # ---- config 1: single-scale flow on the car pair (17x17 kernel/window)
+        g1 = Geometry(hImg=180, wImg=320, layers=((3, 17, 17, 10),),
+                      maxh=17, maxw=17)
+        m1 = FlowModel(g1)
+        p1 = m1.init(jax.random.PRNGKey(0))
+        B = 64
+        c1 = jnp.broadcast_to(jnp.asarray(car1), (B, 180, 320, 3))
+        c2 = jnp.broadcast_to(jnp.asarray(car2), (B, 180, 320, 3))
 
-    dt = timed(lambda: single_scale(p1, c1, c2), 10, B)
-    results["config1_single_scale_fps"] = round(1 / dt, 1)
-    print(f"config 1 single-scale 320x180 17x17: {dt*1e3:.2f} ms/pair "
-          f"-> {1/dt:.0f} fps", flush=True)
+        @jax.jit
+        def single_scale(prm, a, b):
+            f1 = crop_features_center(g1, m1.features(prm, a))
+            f2 = m1.features(prm, b)
+            # bf16 feature storage, same as the headline (see README roofline)
+            return matching.match_flow_fused(f1, f2, g1.maxh, g1.maxw, 16,
+                                             False, False, jnp.bfloat16)
 
-    # ---- config 2: celiu variational GT generation (192x256 car pair).
-    # B=2 vmap is the sweet spot: B=4 reproducibly crashes the TPU worker
-    # (kernel fault, see bench_celiu.py) and B=1 leaves the chip idle.
-    from depth_estimation_tpu.flow import celiu
-    cc1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
-                           192, 256))
-    cc2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"),
-                           192, 256))
-    B2 = 2
-    solve2 = jax.jit(jax.vmap(lambda a, b: celiu.coarse2fine_flow(
-        a, b, alpha=0.02, ratio=0.75, min_width=30,
-        n_outer=4, n_inner=1, n_sor=30)))
-    b1 = jnp.broadcast_to(jnp.asarray(cc1), (B2, 192, 256, 3))
-    b2 = jnp.broadcast_to(jnp.asarray(cc2), (B2, 192, 256, 3))
-    dt = timed(lambda: solve2(b1, b2)[0], 5, B2)
-    results["config2_celiu_pairs_per_s"] = round(1 / dt, 1)
-    print(f"config 2 celiu variational 192x256 (B={B2}): {dt*1e3:.1f} "
-          f"ms/pair -> {1/dt:.1f} pairs/s", flush=True)
+        dt = timed(lambda: single_scale(p1, c1, c2), 10, B)
+        results["config1_single_scale_fps"] = round(1 / dt, 1)
+        print(f"config 1 single-scale 320x180 17x17: {dt*1e3:.2f} ms/pair "
+              f"-> {1/dt:.0f} fps", flush=True)
 
-    # ---- config 3: multiscale 3-level pyramid full-image inference
-    # (streaming batch B3, staged fast decode — see decode_full_staged)
-    g3 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
-                  maxh=8, maxw=8, multiscale=True, ratios=(1, 2, 4))
-    # bf16 matcher precision in the staged decode: 522 -> 610 fps measured,
-    # WTA index agreement 98.5% vs f32 (inference-only; training stays f32)
-    m3 = MultiscaleFlowModel(g3, decode_dtype=jnp.bfloat16)
-    p3 = m3.init(jax.random.PRNGKey(0))
-    B3 = 64
-    c1m = jnp.broadcast_to(jnp.asarray(car1), (B3, 180, 320, 3))
-    c2m = jnp.broadcast_to(jnp.asarray(car2), (B3, 180, 320, 3))
-    dt = timed(lambda: m3.decode_full_staged(p3, c1m, c2m), 10, B3)
-    results["config3_multiscale_fps"] = round(1 / dt, 1)
-    print(f"config 3 multiscale 3-level full-image (B={B3}): "
-          f"{dt*1e3:.2f} ms/frame -> {1/dt:.0f} fps", flush=True)
+    if want(2):
+        # ---- config 2: celiu variational GT generation (192x256 car pair).
+        # B=2 vmap is the sweet spot: B=4 reproducibly crashes the TPU worker
+        # (kernel fault, see bench_celiu.py) and B=1 leaves the chip idle.
+        from depth_estimation_tpu.flow import celiu
+        cc1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
+                               192, 256))
+        cc2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"),
+                               192, 256))
+        B2 = 2
+        solve2 = jax.jit(jax.vmap(lambda a, b: celiu.coarse2fine_flow(
+            a, b, alpha=0.02, ratio=0.75, min_width=30,
+            n_outer=4, n_inner=1, n_sor=30)))
+        b1 = jnp.broadcast_to(jnp.asarray(cc1), (B2, 192, 256, 3))
+        b2 = jnp.broadcast_to(jnp.asarray(cc2), (B2, 192, 256, 3))
+        dt = timed(lambda: solve2(b1, b2)[0], 5, B2)
+        results["config2_celiu_pairs_per_s"] = round(1 / dt, 1)
+        print(f"config 2 celiu variational 192x256 (B={B2}): {dt*1e3:.1f} "
+              f"ms/pair -> {1/dt:.1f} pairs/s", flush=True)
 
-    # ---- config 4: radial/polar 1-D matcher (200x200 polar, hWin 15,
-    # streaming batch B4)
-    net = RadialFlowNetwork(((3, 5, 5, 10), "tanh", (10, 5, 5, 10)), 15)
-    p4 = net.init(jax.random.PRNGKey(0))
-    B4 = 64
-    pol1 = jnp.asarray(rng.rand(B4, 200, 200, 3), jnp.float32)
-    pol2 = jnp.asarray(rng.rand(B4, 200, 200, 3), jnp.float32)
-    dt = timed(lambda: net.flow_batch(p4, pol1, pol2), 10, B4)
-    results["config4_radial_fps"] = round(1 / dt, 1)
-    print(f"config 4 radial polar 200x200 hWin15 (B={B4}): "
-          f"{dt*1e3:.2f} ms/frame -> {1/dt:.0f} fps", flush=True)
+    if want(3):
+        # ---- config 3: multiscale 3-level pyramid full-image inference
+        # (streaming batch B3, staged fast decode — see decode_full_staged)
+        g3 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
+                      maxh=8, maxw=8, multiscale=True, ratios=(1, 2, 4))
+        # bf16 matcher precision in the staged decode: 522 -> 610 fps measured,
+        # WTA index agreement 98.5% vs f32 (inference-only; training stays f32)
+        m3 = MultiscaleFlowModel(g3, decode_dtype=jnp.bfloat16)
+        p3 = m3.init(jax.random.PRNGKey(0))
+        B3 = 64
+        c1m = jnp.broadcast_to(jnp.asarray(car1), (B3, 180, 320, 3))
+        c2m = jnp.broadcast_to(jnp.asarray(car2), (B3, 180, 320, 3))
+        dt = timed(lambda: m3.decode_full_staged(p3, c1m, c2m), 10, B3)
+        results["config3_multiscale_fps"] = round(1 / dt, 1)
+        print(f"config 3 multiscale 3-level full-image (B={B3}): "
+              f"{dt*1e3:.2f} ms/frame -> {1/dt:.0f} fps", flush=True)
 
-    # ---- config 5: online streaming API (per-frame latency, host+device)
-    import dataclasses
-    from depth_estimation_tpu.api import DepthEstimator
-    from depth_estimation_tpu.geometry3d import calibration as calmod
-    cal = dataclasses.replace(calmod.ARDRONE, name="bench_ardrone")
-    g5 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
-                  maxh=16, maxw=16)
-    m5 = FlowModel(g5)
-    est = DepthEstimator(g5, m5.init(jax.random.PRNGKey(0)), cal, head="mean")
-    from depth_estimation_tpu.flow.celiu import gaussian_smooth
-    base = np.asarray(gaussian_smooth(
-        jnp.asarray(rng.rand(520, 680, 3).astype(np.float32)), 1.0, 3))
-    frames = [np.clip(np.ascontiguousarray(
-        base[10 + k:490 + k, 10 + k:650 + k]) * 255, 0, 255).astype(np.uint8)
-        for k in range(40)]
-    # deployment streaming regime: uint8 camera frames, single-frame-in /
-    # single-frame-out with LAG frames in flight, one packed f16 fetch per
-    # frame on fetcher threads (each extra fetch costs a tunnel round trip)
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
-    from depth_estimation_tpu.data.images import scale_np
-    est.reset(frames[0])
-    np.asarray(est.next_frame_packed(scale_np(frames[1], 180, 320)))  # warm up
+    if want(4):
+        # ---- config 4: radial/polar 1-D matcher (200x200 polar, hWin 15,
+        # streaming batch B4)
+        net = RadialFlowNetwork(((3, 5, 5, 10), "tanh", (10, 5, 5, 10)), 15)
+        p4 = net.init(jax.random.PRNGKey(0))
+        B4 = 64
+        pol1 = jnp.asarray(rng.rand(B4, 200, 200, 3), jnp.float32)
+        pol2 = jnp.asarray(rng.rand(B4, 200, 200, 3), jnp.float32)
+        dt = timed(lambda: net.flow_batch(p4, pol1, pol2), 10, B4)
+        results["config4_radial_fps"] = round(1 / dt, 1)
+        print(f"config 4 radial polar 200x200 hWin15 (B={B4}): "
+              f"{dt*1e3:.2f} ms/frame -> {1/dt:.0f} fps", flush=True)
 
-    # plain blocking fetch on fetcher threads; polling is_ready() first
-    # costs an RPC per poll (~12 ms/frame measured) — keep >= 3 frames in
-    # flight instead so buffers are ready when fetched
-    fetch_packed = np.asarray
+    if want(5):
+        # ---- config 5: online streaming API (per-frame latency, host+device)
+        import dataclasses
+        from depth_estimation_tpu.api import DepthEstimator
+        from depth_estimation_tpu.geometry3d import calibration as calmod
+        cal = dataclasses.replace(calmod.ARDRONE, name="bench_ardrone")
+        g5 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
+                      maxh=16, maxw=16)
+        m5 = FlowModel(g5)
+        est = DepthEstimator(g5, m5.init(jax.random.PRNGKey(0)), cal, head="mean")
+        from depth_estimation_tpu.flow.celiu import gaussian_smooth
+        base = np.asarray(gaussian_smooth(
+            jnp.asarray(rng.rand(520, 680, 3).astype(np.float32)), 1.0, 3))
+        frames = [np.clip(np.ascontiguousarray(
+            base[10 + k:490 + k, 10 + k:650 + k]) * 255, 0, 255).astype(np.uint8)
+            for k in range(40)]
+        # deployment streaming regime: uint8 camera frames, single-frame-in /
+        # single-frame-out with LAG frames in flight, one packed f16 fetch per
+        # frame on fetcher threads (each extra fetch costs a tunnel round trip)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        from depth_estimation_tpu.data.images import scale_np
+        est.reset(frames[0])
+        np.asarray(est.next_frame_packed(scale_np(frames[1], 180, 320)))  # warm up
 
-    pool = ThreadPoolExecutor(4)
+        # plain blocking fetch on fetcher threads; polling is_ready() first
+        # costs an RPC per poll (~12 ms/frame measured) — keep >= 3 frames in
+        # flight instead so buffers are ready when fetched
+        fetch_packed = np.asarray
 
-    def stream_rep():
-        pend = deque()
-        t0 = time.perf_counter()
-        n = 0
-        for k in range(2, 80):
-            fsmall = scale_np(frames[k % 40], 180, 320)
-            pend.append(pool.submit(fetch_packed,
-                                    est.next_frame_packed(fsmall)))
-            if len(pend) > 3:
+        pool = ThreadPoolExecutor(4)
+
+        def stream_rep():
+            pend = deque()
+            t0 = time.perf_counter()
+            n = 0
+            for k in range(2, 80):
+                fsmall = scale_np(frames[k % 40], 180, 320)
+                pend.append(pool.submit(fetch_packed,
+                                        est.next_frame_packed(fsmall)))
+                if len(pend) > 3:
+                    pend.popleft().result()
+                n += 1
+            while pend:
                 pend.popleft().result()
-            n += 1
-        while pend:
-            pend.popleft().result()
-        return (time.perf_counter() - t0) / n
+            return (time.perf_counter() - t0) / n
 
-    # 2 reps, report the best (first rep pays one-time warm-up, measured)
-    dt = min(stream_rep(), stream_rep())
-    results["config5_online_api_fps"] = round(1 / dt, 2)
-    print(f"config 5 online API 640x480 streaming per-frame: {dt*1e3:.1f} ms "
-          f"-> {1/dt:.1f} fps", flush=True)
+        # 2 reps, report the best (first rep pays one-time warm-up, measured)
+        dt = min(stream_rep(), stream_rep())
+        results["config5_online_api_fps"] = round(1 / dt, 2)
+        print(f"config 5 online API 640x480 streaming per-frame: {dt*1e3:.1f} ms "
+              f"-> {1/dt:.1f} fps", flush=True)
 
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 
 if __name__ == "__main__":
-    main()
+    only = None
+    if "--only" in sys.argv:
+        only = {int(x) for x in
+                sys.argv[sys.argv.index("--only") + 1].split(",")}
+    main(only)

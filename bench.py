@@ -75,11 +75,13 @@ def _run():
             frames2, (BATCH, g.hImg, g.wImg, 3), method="bilinear")
         f1 = crop_features_center(g, model.features(params, small1))
         f2 = model.features(params, small2)
-        # bf16 feature storage in the fused kernel: measured 0.507 -> 0.445
-        # ms/pair (+14%) at this exact shape; WTA index agreement 99.15%,
-        # soft-argmax deviation 0.005 px vs f32 (see README roofline notes)
-        idx, ey, ex, pmax = matching.match_flow_fused(
-            f1, f2, g.maxh, g.maxw, 16, False, False, jnp.bfloat16
+        # norm-decomposed kernel + bf16 feature storage: the fastest
+        # measured combination at this exact shape (f32 fused 0.507 ->
+        # bf16 fused 0.436 -> bf16 fast 0.404 ms/pair). Same output
+        # contract; near-exact cost ties may round to a neighboring cell
+        # (see ops/matching.py _fast_kernel notes + README roofline)
+        idx, ey, ex, pmax = matching.match_flow_fast(
+            f1, f2, g.maxh, g.maxw, 32, False, jnp.bfloat16
         )
         # depth from x-flow (translation magnitude m = 1)
         W = ex.shape[-1]

@@ -361,7 +361,7 @@ def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
         for dy in range(maxh):
             d = dy * maxw + dx
             sl = jax.lax.slice(f2x, (0, dy, 0), (K, dy + th, W))
-            cross = jnp.sum(f1 * sl, axis=0)
+            cross = jnp.sum((f1 * sl).astype(jnp.float32), axis=0)
             n2s = jax.lax.slice(n2x, (dy, 0), (dy + th, W))
             t = 2.0 * cross - n2s - n1   # = -cost (cost = n1 + n2s - 2 cross)
             e = jnp.exp(t)
@@ -380,14 +380,15 @@ def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
     px_ref[...] = sx / s
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def match_flow_fast(
     f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
-    block_rows: int = 8, interpret: bool = False,
+    block_rows: int = 8, interpret: bool = False, dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fast-path fused matcher (norm-decomposed). Same contract/IO as
     match_flow_fused; trades bit-parity at exact cost ties for ~2x fewer
-    VPU ops. Accepts (H, W, K) or (B, H, W, K)."""
+    VPU ops. Accepts (H, W, K) or (B, H, W, K). ``dtype`` is the feature
+    storage type (bf16 halves slab loads; norms and logits stay f32)."""
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     squeeze = f1.ndim == 3
@@ -397,14 +398,17 @@ def match_flow_fast(
     W2r = f2.shape[2]
     assert f2.shape[1] == H + maxh - 1 and W2r == W + maxw - 1
 
-    f1t = jnp.transpose(f1, (0, 3, 1, 2)).astype(jnp.float32)
-    f2t = jnp.transpose(f2, (0, 3, 1, 2)).astype(jnp.float32)
-    n1 = jnp.sum(f1t * f1t, axis=1)                      # (B, H, W)
-    n2 = jnp.sum(f2t * f2t, axis=1)                      # (B, H2, W2)
+    f1f = jnp.transpose(f1, (0, 3, 1, 2)).astype(jnp.float32)
+    f2f = jnp.transpose(f2, (0, 3, 1, 2)).astype(jnp.float32)
+    n1 = jnp.sum(f1f * f1f, axis=1)                      # (B, H, W)
+    n2 = jnp.sum(f2f * f2f, axis=1)                      # (B, H2, W2)
+    f1t = f1f.astype(dtype)
+    f2t = f2f.astype(dtype)
 
-    th = max(8, (min(block_rows, H) // 8) * 8)
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    th = max(sub, (min(block_rows, H) // sub) * sub)
     n_blocks = pl.cdiv(H, th)
-    slab_rows = -(-(th + maxh - 1) // 8) * 8
+    slab_rows = -(-(th + maxh - 1) // sub) * sub
     rows_needed = (n_blocks - 1) * th + slab_rows
     pad1 = n_blocks * th - H
     pad2 = rows_needed - f2t.shape[2]
@@ -432,11 +436,11 @@ def match_flow_fast(
 
         def body(slab, nslab, sem, nsem):
             dma = pltpu.make_async_copy(
-                f2_ref.at[b, :, pl.ds(pl.multiple_of(i * th, 8), slab_rows), :],
+                f2_ref.at[b, :, pl.ds(pl.multiple_of(i * th, sub), slab_rows), :],
                 slab, sem)
             dma.start()
             dma2 = pltpu.make_async_copy(
-                n2_ref.at[b, pl.ds(pl.multiple_of(i * th, 8), slab_rows), :],
+                n2_ref.at[b, pl.ds(pl.multiple_of(i * th, sub), slab_rows), :],
                 nslab, nsem)
             dma2.start()
             dma.wait()
@@ -447,7 +451,7 @@ def match_flow_fast(
                          maxh=maxh, maxw=maxw, mid=mid, th=th)
         pl.run_scoped(
             body,
-            pltpu.VMEM((K, slab_rows, W2), jnp.float32),
+            pltpu.VMEM((K, slab_rows, W2), dtype),
             pltpu.VMEM((slab_rows, W2), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),

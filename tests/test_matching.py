@@ -263,3 +263,22 @@ def test_mxu_variant_matches_fused_contract():
     np.testing.assert_allclose(np.asarray(ym), np.asarray(y0), atol=1e-3)
     np.testing.assert_allclose(np.asarray(xm), np.asarray(x0), atol=1e-3)
     np.testing.assert_allclose(np.asarray(pm), np.asarray(p0), atol=1e-3)
+
+
+def test_fast_kernel_bf16_parity():
+    """bf16 feature storage in match_flow_fast agrees with the f32 fused
+    kernel on nearly all WTA indices and on soft-argmax within tolerance
+    (the bench.py headline configuration)."""
+    from depth_estimation_tpu.ops import matching
+    rng = np.random.RandomState(11)
+    maxh = maxw = 8
+    H, W, K = 32, 40, 6
+    f1 = jnp.asarray(rng.rand(H, W, K), jnp.float32)
+    f2 = jnp.asarray(rng.rand(H + maxh - 1, W + maxw - 1, K), jnp.float32)
+    o32 = matching.match_flow_fused(f1, f2, maxh, maxw, 8, True)
+    of = matching.match_flow_fast(f1, f2, maxh, maxw, 32, True,
+                                  jnp.bfloat16)
+    agree = (np.asarray(o32[0]) == np.asarray(of[0])).mean()
+    assert agree > 0.9, agree
+    np.testing.assert_allclose(np.asarray(o32[2]), np.asarray(of[2]),
+                               atol=0.25)

@@ -72,9 +72,10 @@ def main(only=None):
         def single_scale(prm, a, b):
             f1 = crop_features_center(g1, m1.features(prm, a))
             f2 = m1.features(prm, b)
-            # bf16 feature storage, same as the headline (see README roofline)
-            return matching.match_flow_fused(f1, f2, g1.maxh, g1.maxw, 16,
-                                             False, False, jnp.bfloat16)
+            # norm-decomposed bf16 kernel, same as the headline (README
+            # roofline notes)
+            return matching.match_flow_fast(f1, f2, g1.maxh, g1.maxw, 32,
+                                            False, jnp.bfloat16)
 
         dt = timed(lambda: single_scale(p1, c1, c2), 10, B)
         results["config1_single_scale_fps"] = round(1 / dt, 1)

@@ -264,3 +264,28 @@ def test_radial_tester_cli_with_dense_baseline(tmp_path):
     from PIL import Image as PILImage
     im = np.asarray(PILImage.open(os.path.join(out, panels[0])))
     assert im.ndim == 3 and im.shape[2] == 3
+
+
+def test_opticalflow_cli_cc_mean_gt(tmp_path):
+    """-gt cc-mean end-to-end: the trainer runs with the soft-argmax GT
+    generator and caches under the mean/ split."""
+    root = make_sequence(tmp_path, n=3, h=64, w=80, dx=2)
+    out = str(tmp_path / "models")
+    from depth_estimation_tpu.cli import opticalflow
+    rc = opticalflow.main([
+        "--root-directory", root,
+        "--num-input-images", "3",
+        "--n-train-set", "32", "--n-test-set", "16",
+        "--num-epochs", "1",
+        "--n-features", "8", "--kernel1-size", "5", "--num-layers", "1",
+        "--window-size", "6", "--gt-window-size", "6",
+        "--batch-size", "16", "--calibration", "test64x80",
+        "--groundtruth", "cc-mean",
+        "--output-model-dir", out,
+    ])
+    assert rc == 0
+    mean_caches = []
+    for dirpath, _, files in os.walk(os.path.join(root, "flow")):
+        if os.sep + "mean" + os.sep in dirpath + os.sep:
+            mean_caches.extend(files)
+    assert mean_caches, "cc-mean GT cache not written under mean/"

@@ -7,6 +7,13 @@ Findings recorded here so future rounds don't re-learn them:
     128 (12.8x wasted MACs). MXU only pays off for feature counts near 128.
   * match_flow_fast (norm-decomposed, no softmax rescaling) is the lean VPU
     formulation: ~24 ALU ops per displacement-pixel vs ~46.
+  * bf16 feature storage gives ~1.15-1.2x on either Pallas kernel (loads
+    halve; VPU ALU rate unchanged).
+  * round-2 numbers at this 640x480/K=10 shape: pallas f32 b8 458 fps,
+    pallas bf16 b16 543 fps, fast f32 b8/b16 444/507 fps, mxu bf16 26 fps.
+    The winner is SHAPE-DEPENDENT: at the headline's 320x180 feature shape
+    the fast+bf16 combination wins instead (0.404 vs 0.436 ms/pair) — see
+    README roofline notes; bench.py uses fast+bf16.
 """
 
 import os
@@ -39,6 +46,8 @@ VARIANTS = [
         f1, f2, maxh, maxw, 16, False, False, jnp.bfloat16)),
     ("fast f32 b8", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 8)),
     ("fast f32 b16", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 16)),
+    ("fast bf16 b32", lambda: matching.match_flow_fast(
+        f1, f2, maxh, maxw, 32, False, jnp.bfloat16)),
     ("mxu bf16 b8", lambda: matching.match_flow_mxu(f1, f2, maxh, maxw, 8)),
 ]
 

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from depth_estimation_tpu.ops import matching
+from depth_estimation_tpu.ops import matching, matching_experimental
 
 maxh = maxw = 16
 B, H, W, K = 4, 465, 625, 10
@@ -48,7 +48,7 @@ VARIANTS = [
     ("fast f32 b16", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 16)),
     ("fast bf16 b32", lambda: matching.match_flow_fast(
         f1, f2, maxh, maxw, 32, False, jnp.bfloat16)),
-    ("mxu bf16 b8", lambda: matching.match_flow_mxu(f1, f2, maxh, maxw, 8)),
+    ("mxu bf16 b8", lambda: matching_experimental.match_flow_mxu(f1, f2, maxh, maxw, 8)),
 ]
 
 if __name__ == "__main__":

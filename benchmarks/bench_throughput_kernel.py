@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from depth_estimation_tpu.ops import matching
+from depth_estimation_tpu.ops import matching, matching_experimental
 
 maxh = maxw = 16
 H, W, K = 165, 305, 10
@@ -52,8 +52,8 @@ if __name__ == "__main__":
     g1 = jnp.asarray(rng.rand(B, H, W, K), jnp.float32)
     g2 = jnp.asarray(rng.rand(B, H + 15, W + 15, K), jnp.float32)
     bench("throughput B=128 tw8", B,
-          lambda: matching.match_flow_throughput(g1, g2, maxh, maxw, 8, 8))
+          lambda: matching_experimental.match_flow_throughput(g1, g2, maxh, maxw, 8, 8))
     bench("throughput B=128 tw16", B,
-          lambda: matching.match_flow_throughput(g1, g2, maxh, maxw, 8, 16))
+          lambda: matching_experimental.match_flow_throughput(g1, g2, maxh, maxw, 8, 16))
     bench("fused B=128 (baseline)", B,
           lambda: matching.match_flow_fused(g1, g2, maxh, maxw, 8))

@@ -245,6 +245,17 @@ def cmd_video(args) -> int:
         mask = extract.enlarge_mask(wmask > 0.5, 2 * bh + 1, 2 * bw + 1)
         mask = mask.astype(jnp.float32)
         mask_entropy = pm.full_confidences * maskmiddle
+        if args.entropy_thr > 0.0:
+            # opt-in uncertainty gate: entropy of the window distribution
+            # (ops/extract.py entropy_mask), embedded into the full frame
+            egate = extract.entropy_mask(dist, args.entropy_thr)
+            full_gate = jnp.zeros((g.hImg, g.wImg), jnp.float32)
+            eh, ew = egate.shape
+            yo = (g.hImg - eh) // 2
+            xo = (g.wImg - ew) // 2
+            full_gate = full_gate.at[yo:yo + eh, xo:xo + ew].set(
+                egate.astype(jnp.float32))
+            mask_entropy = mask_entropy * full_gate
         # bad-frame zeroing (:293-299)
         mask = jnp.where(good, mask, 0.0)
         mask_entropy = jnp.where(good, mask_entropy, 0.0)
@@ -382,6 +393,10 @@ def main(argv=None) -> int:
     v.add_argument("--calibration", default="ardrone")
     v.add_argument("--output-dir", default="video_out")
     v.add_argument("--post-win", type=int, default=3)
+    v.add_argument("--entropy-thr", type=float, default=0.0, metavar="H",
+                   help="optional extra confidence gate: drop pixels whose "
+                        "window-distribution Shannon entropy exceeds H "
+                        "(0 = off; ln(maxh*maxw) is the max possible)")
     v.add_argument("--first", type=int, default=0)
     v.add_argument("--num", type=int, default=0)
 

@@ -159,6 +159,16 @@ def test_video_pipeline_end_to_end(tmp_path):
     # 3 rows x 3 cols of 64x80 panels
     assert panel.shape[0] == 3 * 64 and panel.shape[1] == 3 * 80
 
+    # opt-in entropy gate: a near-zero threshold masks essentially every
+    # pixel, so the depth-panel confidence goes dark vs the ungated run
+    out2 = str(tmp_path / "video_out_gated")
+    rc = tools.main(["video", mdir, root,
+                     "--calibration", "test64x80",
+                     "--output-dir", out2, "--num", "1",
+                     "--entropy-thr", "1e-4"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out2, "000000000.png"))
+
 
 def test_legacy_depth_cli_end_to_end(tmp_path):
     """Train the legacy depth classifier on a synthetic scene where depth

@@ -23,9 +23,10 @@ def main():
     im1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"), H, W))
     im2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"), H, W))
 
-    solve = jax.jit(lambda a, b: celiu.coarse2fine_flow(
-        a, b, alpha=0.02, ratio=0.75, min_width=30,
-        n_outer=4, n_inner=1, n_sor=30))
+    # reference GT generator schedule (groundtruth_opticalflow_celiu.lua:9-14)
+    kw = dict(alpha=0.005, ratio=0.75, min_width=30,
+              n_outer=5, n_inner=1, n_sor=40)
+    solve = jax.jit(lambda a, b: celiu.coarse2fine_flow(a, b, **kw))
 
     t0 = time.perf_counter()
     u, v, warped = solve(jnp.asarray(im1), jnp.asarray(im2))
@@ -41,10 +42,25 @@ def main():
     print(f"celiu single-pair: {dt*1e3:.1f} ms/pair -> {1/dt:.1f} pairs/s",
           flush=True)
 
-    # NOTE: vmapping the full pyramid solver crashes the TPU worker (kernel
-    # fault) at batch >= 4 on v5e / jax 0.9; B=2 works and is ~1.4x faster
-    # per pair (measured: 28.6 pairs/s single, 40.3 pairs/s at B=2). The
-    # recorded config2 metric (bench_configs.py) uses B=2.
+    # Batch scaling via the EXPLICIT leading-batch solver
+    # (coarse2fine_flow_batched). Historical note: vmapping the solver
+    # instead crashes the TPU worker (kernel fault) at B >= 4 on v5e /
+    # jax 0.9 (B=2 vmap worked: 40.3 pairs/s at the lighter 4/1/30
+    # schedule); the explicit batch has no such limit.
+    for B in (2, 4, 8, 16):
+        solve_b = jax.jit(
+            lambda a, b: celiu.coarse2fine_flow_batched(a, b, **kw))
+        bb1 = jnp.broadcast_to(jnp.asarray(im1), (B, H, W, 3))
+        bb2 = jnp.broadcast_to(jnp.asarray(im2), (B, H, W, 3))
+        ub, vb, wb = solve_b(bb1, bb2)
+        float(ub.sum())
+        t0 = time.perf_counter()
+        for _ in range(3):
+            ub, vb, wb = solve_b(bb1, bb2)
+        float(ub.sum())
+        dtb = (time.perf_counter() - t0) / (3 * B)
+        print(f"celiu explicit batch B={B}: {dtb*1e3:.1f} ms/pair -> "
+              f"{1/dtb:.1f} pairs/s", flush=True)
 
     # qualitative artifacts
     exdir = os.path.join(os.path.dirname(__file__), "..", "examples")

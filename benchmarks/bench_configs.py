@@ -83,24 +83,28 @@ def main(only=None):
               f"-> {1/dt:.0f} fps", flush=True)
 
     if want(2):
-        # ---- config 2: celiu variational GT generation (192x256 car pair).
-        # B=2 vmap is the sweet spot: B=4 reproducibly crashes the TPU worker
-        # (kernel fault, see bench_celiu.py) and B=1 leaves the chip idle.
+        # ---- config 2: celiu variational GT generation (192x256 car pair)
+        # at the reference GT generator's OWN solver schedule — alpha=0.005,
+        # 5 outer / 1 inner / 40 SOR, ratio 0.75, minWidth 30
+        # (/root/reference/groundtruth_opticalflow_celiu.lua:9-14, the
+        # liu_flow defaults in data/groundtruth.py). Batched via the
+        # explicit-leading-batch solver (coarse2fine_flow_batched) — outer
+        # vmap faults the TPU worker at B >= 4 (see bench_celiu.py).
         from depth_estimation_tpu.flow import celiu
         cc1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
                                192, 256))
         cc2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"),
                                192, 256))
-        B2 = 2
-        solve2 = jax.jit(jax.vmap(lambda a, b: celiu.coarse2fine_flow(
-            a, b, alpha=0.02, ratio=0.75, min_width=30,
-            n_outer=4, n_inner=1, n_sor=30)))
+        B2 = 8
+        solve2 = jax.jit(lambda a, b: celiu.coarse2fine_flow_batched(
+            a, b, alpha=0.005, ratio=0.75, min_width=30,
+            n_outer=5, n_inner=1, n_sor=40))
         b1 = jnp.broadcast_to(jnp.asarray(cc1), (B2, 192, 256, 3))
         b2 = jnp.broadcast_to(jnp.asarray(cc2), (B2, 192, 256, 3))
         dt = timed(lambda: solve2(b1, b2)[0], 5, B2)
         results["config2_celiu_pairs_per_s"] = round(1 / dt, 1)
-        print(f"config 2 celiu variational 192x256 (B={B2}): {dt*1e3:.1f} "
-              f"ms/pair -> {1/dt:.1f} pairs/s", flush=True)
+        print(f"config 2 celiu variational 192x256 (B={B2}, ref params): "
+              f"{dt*1e3:.1f} ms/pair -> {1/dt:.1f} pairs/s", flush=True)
 
     if want(3):
         # ---- config 3: multiscale 3-level pyramid full-image inference

@@ -1,0 +1,112 @@
+"""Batched FULL online pipeline throughput on the TPU chip.
+
+The one number the headline bench (bench.py) does NOT measure: the
+reference's complete per-frame program — undistort -> ego-motion
+(Shi-Tomasi corners + pyramidal LK + RANSAC essential fit) ->
+rotation-compensate previous features -> fused match -> decode ->
+warp-mask erosion -> confidence gate -> bad-frame zeroing -> depth rule
+(/root/reference/depth_estimation_api.lua:134-198 + computeDepthMapFromFlow)
+— exactly what api.DepthEstimator._step computes, batched over B
+independent frame pairs per dispatch (api.make_batched_pipeline).
+
+Target: >= 500 frame-pairs/sec/chip (BASELINE.md north star). Writes
+``full_pipeline_fps`` into benchmarks/results.json.
+
+Usage: python benchmarks/bench_full_pipeline.py [--batch B] [--head mean]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def fetch(x):
+    float(jnp.ravel(jax.tree.leaves(x)[0])[0])
+
+
+def timed(fn, n, per):
+    out = fn()
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    fetch(out)
+    return (time.perf_counter() - t0) / (n * per)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--head", default="mean", choices=("mean", "max"))
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=("float32", "bfloat16"),
+                    help="matcher feature storage type (bf16 is the "
+                         "measured-faster inference option, README)")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from depth_estimation_tpu.api_batched import BatchedDepthEstimator
+    from depth_estimation_tpu.geometry import Geometry
+    from depth_estimation_tpu.geometry3d.calibration import ARDRONE
+    from depth_estimation_tpu.models.flow import FlowModel
+
+    # canonical online geometry (opticalflow.lua:122-140: 640x480 camera
+    # frames, matching at 320x180, 10 features, 16x16 window) with the
+    # ardrone calibration the reference's online loop uses
+    g = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
+                 maxh=16, maxw=16)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+
+    B = args.batch
+    est = BatchedDepthEstimator(
+        g, params, ARDRONE, head=args.head,
+        match_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+
+    rng = np.random.RandomState(0)
+    # textured frames (Shi-Tomasi needs corners; pure noise would track
+    # nothing and make RANSAC degenerate): smooth random texture + shift
+    base = rng.rand(B, 120, 160, 3).astype(np.float32)
+    frames1 = np.asarray(jax.image.resize(
+        jnp.asarray(base), (B, 480, 640, 3), "bilinear"))
+    frames2 = np.roll(frames1, -3, axis=2)
+    frames1 = jnp.asarray(frames1)
+    frames2 = jnp.asarray(frames2)
+
+    t0 = time.perf_counter()
+    est.reset(frames1)
+    out = est.next_frames(frames2)
+    fetch(out)
+    print(f"compile+first run: {time.perf_counter() - t0:.1f} s", flush=True)
+    n_good = int(np.asarray(out[3]).sum())
+    print(f"good frames: {n_good}/{B}")
+
+    # streaming regime: one prep per STEP (the prior frame's features are
+    # device state, exactly the reference's online loop accounting)
+    dt = timed(lambda: est.next_frames(frames2), args.iters, B)
+    fps = 1.0 / dt
+    print(f"full pipeline: {dt * 1e3:.3f} ms/pair = {fps:.1f} fps "
+          f"(B={B}, head={args.head}, {args.dtype})")
+
+    path = os.path.join(os.path.dirname(__file__), "results.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    results["full_pipeline_fps"] = round(fps, 1)
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"full_pipeline_fps": round(fps, 1),
+                      "vs_target": round(fps / 500.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -221,3 +221,7 @@ class DepthEstimator:
         self.last_im_scaled = small
         self.last_filtered = feats
         return packed
+
+
+# Batched (B-streams-per-dispatch) pipeline lives in api_batched.py
+from .api_batched import BatchedDepthEstimator, make_batched_pipeline  # noqa: E402,F401

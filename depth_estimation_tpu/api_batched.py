@@ -1,0 +1,177 @@
+"""Batched FULL online pipeline: B independent streams per device dispatch.
+
+The batched-throughput version of the complete per-frame program of
+``api.DepthEstimator._step`` (/root/reference/depth_estimation_api.lua:134-198):
+undistort -> ego-motion (Shi-Tomasi + pyramidal LK + RANSAC essential) ->
+rotation-compensate previous FEATURE maps (the reference's prefilter split,
+:147) -> fused match -> decode -> warp-mask erosion -> confidence gate ->
+branchless bad-frame zeroing, plus the x-flow -> depth rule
+(ARdroneAPI::computeDepthMapFromFlow, /root/reference/ardrone/ardrone_api.cpp:127-136).
+
+TPU batching notes (benchmarks/profile_full_pipeline.py):
+  * the fused matcher batches natively (batch = Pallas grid dimension);
+  * ego-motion's windowed ops use the batch-LAST layouts of
+    geometry3d/egomotion.py; LK patch sampling is batched MXU matmuls;
+  * the per-item feature warps use the flat take_along_axis gather
+    (undistort.remove_ego_motion_batched) — a vmapped 2-D gather measured
+    6.2 ms/pair on the 10-channel feature maps, the flat form replaces it;
+  * the warp-validity mask is computed analytically (pure range test on the
+    homography grid, undistort.ego_motion_valid_mask) instead of warping a
+    ones-image through the gather path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import codecs
+from .geometry import Geometry
+from .geometry3d import undistort as undist
+from .geometry3d.calibration import Calibration
+from .geometry3d import egomotion as ego
+from .models import flow as flow_model
+from .ops import extract, matching
+
+
+class BatchedDepthEstimator:
+    """B independent frame streams advanced one frame per dispatch — the
+    amortized-throughput regime the per-frame ``DepthEstimator`` cannot
+    reach over a tunneled link. State (previous undistorted frames +
+    feature maps) stays on device.
+
+    ``match_dtype``: feature storage type inside the fused matcher (bf16 is
+    the measured-faster inference option, see README).
+    """
+
+    def __init__(self, geometry: Geometry, params, cal: Calibration,
+                 head: str = "mean", match_dtype=jnp.float32):
+        geometry.validate()
+        assert head in ("mean", "max")
+        self.geometry = geometry
+        self.params = params
+        self.cal = cal
+        self.head = head
+        self.model = flow_model.FlowModel(geometry)
+        g = geometry
+        Ks = cal.K.copy()
+        Ks[0] *= g.wImg / cal.wImg
+        Ks[1] *= g.hImg / cal.hImg
+        self.K_scaled = Ks
+
+        @jax.jit
+        def _prep(params, frames):
+            """Normalize / downscale / undistort / filter a batch of frames
+            (ONE conv trunk pass per frame — the prefilter split)."""
+            B = frames.shape[0]
+            if frames.dtype == jnp.uint8:
+                frames = frames.astype(jnp.float32) / 255.0
+            if frames.shape[1:3] != (g.hImg, g.wImg):
+                frames = jax.image.resize(
+                    frames, (B, g.hImg, g.wImg, frames.shape[-1]),
+                    method="bilinear")
+            # fixed sampling map shared by the batch: undistortion's grid
+            # does not depend on the data, so the whole batch goes through
+            # one gather program (vmap over items with identical indices)
+            u = jax.vmap(
+                lambda f: undist.undistort_image(f, Ks, cal.distortion)
+            )(frames)
+            return u, self.model.features(params, u)
+
+        def _step(params, last_u, last_feats, frames):
+            B = frames.shape[0]
+            u, feats = _prep(params, frames)
+            em = ego.get_ego_motion_batched(
+                last_u, u, Ks, max_points=cal.sfm.max_points,
+                quality=cal.sfm.points_quality)
+            ratio = em.n_inliers.astype(jnp.float32) / jnp.maximum(
+                em.n_found.astype(jnp.float32), 1.0)
+            good = ratio >= cal.bad_image_threshold
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+            R = jnp.where(good[:, None, None], em.R, eye)
+
+            warped = undist.remove_ego_motion_batched(last_feats, Ks, R)
+            wmask = undist.ego_motion_valid_mask(
+                Ks, R, last_feats.shape[1], last_feats.shape[2])
+
+            f1 = flow_model.crop_features_center(g, warped)
+            if head == "mean":
+                idx, ey, ex, pmax, marg = matching.match_flow_fused(
+                    f1, feats, g.maxh, g.maxw, 8, False, True, match_dtype)
+                y, x = ey, ex
+                confs = extract.confidences_from_marginal(
+                    jnp.moveaxis(marg, 1, -1), 0.11).astype(jnp.float32)
+            else:
+                idx, ey, ex, pmax = matching.match_flow_fused(
+                    f1, feats, g.maxh, g.maxw, 8, False, False, match_dtype)
+                wy, wx = codecs.decode(g, idx)
+                y = wy.astype(jnp.float32)
+                x = wx.astype(jnp.float32)
+                confs = jnp.ones_like(pmax)
+
+            H, W = y.shape[1:]
+            hoff = (g.hImg - H) // 2
+            woff = (g.wImg - W) // 2
+            xflow = jnp.zeros((B, g.hImg, g.wImg), jnp.float32)
+            xflow = xflow.at[:, hoff:hoff + H, woff:woff + W].set(x)
+            fullc = jnp.zeros((B, g.hImg, g.wImg), jnp.float32)
+            fullc = fullc.at[:, hoff:hoff + H, woff:woff + W].set(confs)
+
+            m = wmask[:, g.halfh1:g.halfh1 + H, g.halfw1:g.halfw1 + W]
+            m = extract.enlarge_mask_batched(m > 0.5, g.hKernel, g.wKernel)
+            fullm = jnp.zeros((B, g.hImg, g.wImg), jnp.float32)
+            fullm = fullm.at[:, hoff:hoff + H, woff:woff + W].set(
+                m.astype(jnp.float32))
+            mask = fullm * fullc
+
+            xflow = jnp.where(good[:, None, None], xflow, 0.0)
+            mask = jnp.where(good[:, None, None], mask, 0.0)
+
+            # depth from x-flow (translation magnitude m = 1)
+            cx = g.wImg / 2.0
+            j = jnp.arange(g.wImg, dtype=jnp.float32)[None, None, :]
+            absflow = jnp.abs(xflow)
+            depth = jnp.where(absflow < 0.1, jnp.inf,
+                              jnp.abs(j - cx) / jnp.maximum(absflow, 0.1))
+            return u, feats, xflow, mask, depth, good
+
+        self._prep = _prep
+        self._step = jax.jit(_step)
+        self.last_u = None
+        self.last_feats = None
+
+    def reset(self, first_frames) -> None:
+        self.last_u, self.last_feats = self._prep(
+            self.params, jnp.asarray(first_frames))
+
+    def next_frames(self, frames):
+        """Advance every stream by one frame. Returns (xflow, mask, depth,
+        good), all on device; state updates internally."""
+        assert self.last_u is not None, "call reset(first_frames) first"
+        u, feats, xflow, mask, depth, good = self._step(
+            self.params, self.last_u, self.last_feats, jnp.asarray(frames))
+        self.last_u = u
+        self.last_feats = feats
+        return xflow, mask, depth, good
+
+
+def make_batched_pipeline(geometry: Geometry, cal: Calibration,
+                          head: str = "mean", match_dtype=jnp.float32):
+    """Independent-PAIRS form of the batched pipeline: a jitted
+    ``fn(params, frames1, frames2) -> (xflow, mask, depth, good)`` that
+    preps both frames of every pair (the offline / dataset regime —
+    streaming callers should use ``BatchedDepthEstimator``, which preps one
+    frame per step like the reference's online loop). Shapes: frames
+    (B, h, w, 3) any input resolution; outputs (B, hImg, wImg) + good (B,).
+    """
+    est = BatchedDepthEstimator(geometry, None, cal, head=head,
+                                match_dtype=match_dtype)
+
+    @jax.jit
+    def pipeline(params, frames1, frames2):
+        last_u, last_feats = est._prep(params, frames1)
+        _, _, xflow, mask, depth, good = est._step.__wrapped__(
+            params, last_u, last_feats, frames2)
+        return xflow, mask, depth, good
+
+    return pipeline

@@ -42,23 +42,33 @@ import numpy as np
 # image helpers (clamp-boundary separable filters, bilinear sampling)
 # ---------------------------------------------------------------------------
 
+def _axpad(ndim: int, axis: int, lo: int, hi: int):
+    """Pad spec touching one (negative) axis of an ndim-array."""
+    pads = [(0, 0)] * ndim
+    pads[axis] = (lo, hi)
+    return pads
+
+
 def _hfilter(img: jnp.ndarray, f: np.ndarray) -> jnp.ndarray:
     """Horizontal correlation with clamp (replicate) boundary
-    (ImageProcessing::hfiltering)."""
+    (ImageProcessing::hfiltering). img: (..., H, W, C) — leading batch dims
+    pass through (the explicit-batch regime, coarse2fine_flow_batched)."""
     r = len(f) // 2
-    p = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="edge")
+    p = jnp.pad(img, _axpad(img.ndim, -2, r, r), mode="edge")
     out = jnp.zeros_like(img)
+    ax = img.ndim - 2
     for k, w in enumerate(f):
-        out = out + w * jax.lax.slice_in_dim(p, k, k + img.shape[1], axis=1)
+        out = out + w * jax.lax.slice_in_dim(p, k, k + img.shape[-2], axis=ax)
     return out
 
 
 def _vfilter(img: jnp.ndarray, f: np.ndarray) -> jnp.ndarray:
     r = len(f) // 2
-    p = jnp.pad(img, ((r, r), (0, 0), (0, 0)), mode="edge")
+    p = jnp.pad(img, _axpad(img.ndim, -3, r, r), mode="edge")
     out = jnp.zeros_like(img)
+    ax = img.ndim - 3
     for k, w in enumerate(f):
-        out = out + w * jax.lax.slice_in_dim(p, k, k + img.shape[0], axis=0)
+        out = out + w * jax.lax.slice_in_dim(p, k, k + img.shape[-3], axis=ax)
     return out
 
 
@@ -76,14 +86,15 @@ def dy_advanced(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def dx_forward(img: jnp.ndarray) -> jnp.ndarray:
-    """Forward difference, last column zero (Image<T>::dx simple)."""
-    d = img[:, 1:] - img[:, :-1]
-    return jnp.pad(d, [(0, 0), (0, 1)] + [(0, 0)] * (img.ndim - 2))
+    """Forward difference along W, last column zero (Image<T>::dx simple).
+    img: (..., H, W, C) image layout."""
+    d = img[..., :, 1:, :] - img[..., :, :-1, :]
+    return jnp.pad(d, _axpad(img.ndim, -2, 0, 1))
 
 
 def dy_forward(img: jnp.ndarray) -> jnp.ndarray:
-    d = img[1:] - img[:-1]
-    return jnp.pad(d, [(0, 1)] + [(0, 0)] * (img.ndim - 1))
+    d = img[..., 1:, :, :] - img[..., :-1, :, :]
+    return jnp.pad(d, _axpad(img.ndim, -3, 0, 1))
 
 
 def gaussian_smooth(img: jnp.ndarray, sigma: float, fsize: int) -> jnp.ndarray:
@@ -94,17 +105,35 @@ def gaussian_smooth(img: jnp.ndarray, sigma: float, fsize: int) -> jnp.ndarray:
     return _vfilter(_hfilter(img, f), f)
 
 
+def _gather_hw(img: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) -> jnp.ndarray:
+    """img (..., H, W, C) indexed at integer (yy, xx) (..., Hs, Ws) with
+    clamped coordinates. Unbatched keeps the plain 2-D gather; with leading
+    batch dims the (H, W) axes flatten and the lookup becomes ONE batched
+    take_along_axis (a native batched gather — no vmap)."""
+    H, W = img.shape[-3], img.shape[-2]
+    yy = jnp.clip(yy, 0, H - 1)
+    xx = jnp.clip(xx, 0, W - 1)
+    if img.ndim == 3:
+        return img[yy, xx]
+    C = img.shape[-1]
+    lead = img.shape[:-3]
+    flat = img.reshape(lead + (H * W, C))
+    idx = (yy * W + xx).reshape(lead + (-1,))[..., None]
+    out = jnp.take_along_axis(flat, idx, axis=-2)
+    return out.reshape(yy.shape + (C,))
+
+
 def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Sample img (H, W, C) at continuous (x, y) with clamped corners
-    (ImageProcessing::BilinearInterpolate, clamp via EnforceRange)."""
-    H, W = img.shape[0], img.shape[1]
+    """Sample img (..., H, W, C) at continuous (x, y) (..., Hs, Ws) with
+    clamped corners (ImageProcessing::BilinearInterpolate, clamp via
+    EnforceRange). Leading batch dims of img and x/y must match."""
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     dx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
     dy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
 
     def at(yy, xx):
-        return img[jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
+        return _gather_hw(img, yy, xx)
 
     return ((1 - dx) * (1 - dy) * at(y0, x0)
             + dx * (1 - dy) * at(y0, x0 + 1)
@@ -114,8 +143,8 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
 
 def imresize(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
     """Liu's resize: sample at x = (j+1)/ratio - 1
-    (ImageProcessing::ResizeImage, :202-219)."""
-    H, W = img.shape[0], img.shape[1]
+    (ImageProcessing::ResizeImage, :202-219). img: (..., H, W, C)."""
+    H, W = img.shape[-3], img.shape[-2]
     rx = dst_w / W
     ry = dst_h / H
     j = jnp.arange(dst_w, dtype=jnp.float32)
@@ -123,14 +152,18 @@ def imresize(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
     x = (j + 1.0) / rx - 1.0
     y = (i + 1.0) / ry - 1.0
     xx, yy = jnp.meshgrid(x, y)
+    lead = img.shape[:-3]
+    xx = jnp.broadcast_to(xx, lead + xx.shape)
+    yy = jnp.broadcast_to(yy, lead + yy.shape)
     return bilinear_sample(img, xx, yy)
 
 
 def warp_image(im1: jnp.ndarray, im2: jnp.ndarray,
                vx: jnp.ndarray, vy: jnp.ndarray) -> jnp.ndarray:
     """warpIm2(i,j) = im2(i+vy, j+vx) bilinear; out-of-range pixels copy im1
-    (ImageProcessing::warpImage with pIm1 fallback)."""
-    H, W = im1.shape[0], im1.shape[1]
+    (ImageProcessing::warpImage with pIm1 fallback). im1/im2 (..., H, W, C),
+    vx/vy (..., H, W)."""
+    H, W = im1.shape[-3], im1.shape[-2]
     j = jnp.arange(W, dtype=jnp.float32)[None, :]
     i = jnp.arange(H, dtype=jnp.float32)[:, None]
     x = j + vx
@@ -157,7 +190,7 @@ def warp_image_bicubic(im1: jnp.ndarray, im2: jnp.ndarray,
     warpIm2.threshold() (OpticalFlow.cpp:744-746). The reference's
     coefficient matrix a[4][4] is the textbook Hermite-patch solve; here it
     is evaluated in the separable basis-product form (identical values)."""
-    H, W = im1.shape[0], im1.shape[1]
+    H, W = im1.shape[-3], im1.shape[-2]
     d = np.asarray([-0.5, 0.0, 0.5], np.float32)
     fx = _hfilter(im2, d)
     fy = _vfilter(im2, d)
@@ -180,7 +213,8 @@ def warp_image_bicubic(im1: jnp.ndarray, im2: jnp.ndarray,
     hy = _hermite(dy)
 
     def corner(yy, xx):
-        return (im2[yy, xx], fx[yy, xx], fy[yy, xx], fxy[yy, xx])
+        return (_gather_hw(im2, yy, xx), _gather_hw(fx, yy, xx),
+                _gather_hw(fy, yy, xx), _gather_hw(fxy, yy, xx))
 
     out = jnp.zeros_like(im1)
     # corners in (x index, y index) order: (0,0), (1,0), (0,1), (1,1)
@@ -220,7 +254,7 @@ def build_pyramid(img: jnp.ndarray, ratio: float, min_width: int) -> List[jnp.nd
     """GaussianPyramid::ConstructPyramid (GaussianPyramid.cpp:45-76)."""
     if ratio > 0.98 or ratio < 0.4:
         ratio = 0.75
-    shapes = pyramid_shapes(img.shape[0], img.shape[1], ratio, min_width)
+    shapes = pyramid_shapes(img.shape[-3], img.shape[-2], ratio, min_width)
     base_sigma = 1 / ratio - 1
     n = int(math.log(0.25) / math.log(ratio))
     n_sigma = base_sigma * n
@@ -238,9 +272,10 @@ def build_pyramid(img: jnp.ndarray, ratio: float, min_width: int) -> List[jnp.nd
 
 def im2feature(img: jnp.ndarray) -> jnp.ndarray:
     """OpticalFlow::im2feature (OpticalFlow.cpp:1090-1130)."""
-    C = img.shape[2]
+    C = img.shape[-1]
     if C == 1:
-        return jnp.concatenate([img, dx_advanced(img), dy_advanced(img)], axis=2)
+        return jnp.concatenate([img, dx_advanced(img), dy_advanced(img)],
+                               axis=-1)
     if C == 3:
         w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
         gray = (img * w).sum(-1, keepdims=True)
@@ -248,7 +283,7 @@ def im2feature(img: jnp.ndarray) -> jnp.ndarray:
             gray, dx_advanced(gray), dy_advanced(gray),
             (img[..., 1] - img[..., 0])[..., None],   # g - r
             (img[..., 1] - img[..., 2])[..., None],   # g - b
-        ], axis=2)
+        ], axis=-1)
     return img
 
 
@@ -276,6 +311,7 @@ def gmm_psi(temp: jnp.ndarray, gm) -> jnp.ndarray:
     (OpticalFlow.cpp:296-305): psi = (p1/(2 sigma^2) + p2/(2 beta^2)) /
     (p1 + p2) with p1 = N(t^2; sigma) alpha, p2 = N(t^2; beta) (1-alpha)."""
     alpha, sigma, beta = gm
+    alpha, sigma, beta = (p[..., None, None, :] for p in (alpha, sigma, beta))
     t2 = temp * temp
     p1 = _gm_gaussian(t2, sigma) * alpha
     p2 = _gm_gaussian(t2, beta) * (1.0 - alpha)
@@ -290,20 +326,25 @@ def est_gaussian_mixture(im1f: jnp.ndarray, warp: jnp.ndarray, gm,
     reference's regularized M-step: alpha and beta are blended toward the
     0.95 / 0.3 priors with weight ``prior``."""
     alpha, sigma, beta = gm
-    t2 = (im1f - warp) ** 2                      # (H, W, C)
+    t2 = (im1f - warp) ** 2                      # (..., H, W, C)
+
+    def bc(p):
+        # per-channel params (..., C) broadcast against (..., H, W, C)
+        return p[..., None, None, :]
+
     for _ in range(n_iters):
-        w1 = _gm_gaussian(t2, sigma) * alpha     # E step
-        w2 = _gm_gaussian(t2, beta) * (1.0 - alpha)
+        w1 = _gm_gaussian(t2, bc(sigma)) * bc(alpha)     # E step
+        w2 = _gm_gaussian(t2, bc(beta)) * (1.0 - bc(alpha))
         tot = jnp.maximum(w1 + w2, 1e-30)
         w1, w2 = w1 / tot, w2 / tot
-        total1 = w1.sum(axis=(0, 1))
-        total2 = w2.sum(axis=(0, 1))
+        total1 = w1.sum(axis=(-3, -2))
+        total2 = w2.sum(axis=(-3, -2))
         # M step (regularized, :805-811)
         alpha = total1 / jnp.maximum(total1 + total2, 1e-30) * (1 - prior) \
             + 0.95 * prior
-        sigma = jnp.sqrt((w1 * t2).sum(axis=(0, 1))
+        sigma = jnp.sqrt((w1 * t2).sum(axis=(-3, -2))
                          / jnp.maximum(total1, 1e-30))
-        beta = jnp.sqrt((w2 * t2).sum(axis=(0, 1))
+        beta = jnp.sqrt((w2 * t2).sum(axis=(-3, -2))
                         / jnp.maximum(total2, 1e-30)) * (1 - prior) \
             + 0.3 * prior
     return alpha, sigma, beta
@@ -329,19 +370,19 @@ def _neighbor_weights(phi: jnp.ndarray):
     """Edge weights of the 5-point stencil, zero at the image boundary
     (the SOR loop's j>0 / j<W-1 / i>0 / i<H-1 guards, OpticalFlow.cpp:381-427):
     west edge uses phi[west], east/south use phi[self], north uses phi[north]."""
-    H, W = phi.shape
-    w_w = jnp.pad(phi[:, :-1], ((0, 0), (1, 0)))
+    H, W = phi.shape[-2:]
+    w_w = jnp.pad(phi[..., :, :-1], _axpad(phi.ndim, -1, 1, 0))
     w_e = phi * (jnp.arange(W) < W - 1)[None, :]
-    w_n = jnp.pad(phi[:-1, :], ((1, 0), (0, 0)))
+    w_n = jnp.pad(phi[..., :-1, :], _axpad(phi.ndim, -2, 1, 0))
     w_s = phi * (jnp.arange(H) < H - 1)[:, None]
     return w_w, w_e, w_n, w_s
 
 
 def _nsum(f: jnp.ndarray, w_w, w_e, w_n, w_s) -> jnp.ndarray:
-    left = jnp.pad(f[:, :-1], ((0, 0), (1, 0)))
-    right = jnp.pad(f[:, 1:], ((0, 0), (0, 1)))
-    up = jnp.pad(f[:-1, :], ((1, 0), (0, 0)))
-    down = jnp.pad(f[1:, :], ((0, 1), (0, 0)))
+    left = jnp.pad(f[..., :, :-1], _axpad(f.ndim, -1, 1, 0))
+    right = jnp.pad(f[..., :, 1:], _axpad(f.ndim, -1, 0, 1))
+    up = jnp.pad(f[..., :-1, :], _axpad(f.ndim, -2, 1, 0))
+    down = jnp.pad(f[..., 1:, :], _axpad(f.ndim, -2, 0, 1))
     return w_w * left + w_e * right + w_n * up + w_s * down
 
 
@@ -353,11 +394,16 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
     OpticalFlow.cpp:194-452), red-black SOR inside. ``noise_model``:
     'lap' (reference default, :18) or 'gmm' (GMixture branch, :296-305);
     ``interpolation``: 'bilinear' (default, :17) or 'bicubic'
-    (warpImageBicubicRef + threshold, :740-746)."""
+    (warpImageBicubicRef + threshold, :740-746).
+
+    Shapes: images/warp (..., H, W, C), flows (..., H, W), lap_para (..., C)
+    — leading batch dims solve B independent systems in the SAME dense
+    program (the explicit-batch regime; vmapping the whole solver instead
+    faults the TPU worker at B >= 4, see CLAUDE.md)."""
     eps_phi = 1e-6
     eps_psi = 1e-6
     omega = 1.8
-    H, W = u.shape
+    H, W = u.shape[-2:]
     ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     red = jnp.asarray((ii + jj) % 2 == 0)
 
@@ -369,8 +415,10 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
         for hh in range(n_inner):
             uu = u if hh == 0 else u + du
             vv = v if hh == 0 else v + dv
-            ux, uy = dx_forward(uu), dy_forward(uu)
-            vx_, vy_ = dx_forward(vv), dy_forward(vv)
+            ux = dx_forward(uu[..., None])[..., 0]
+            uy = dy_forward(uu[..., None])[..., 0]
+            vx_ = dx_forward(vv[..., None])[..., 0]
+            vy_ = dy_forward(vv[..., None])[..., 0]
             phi = 0.5 / jnp.sqrt(ux * ux + uy * uy + vx_ * vx_ + vy_ * vy_
                                  + eps_phi)
 
@@ -380,8 +428,9 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
             else:
                 psi = 1.0 / (2.0 * jnp.sqrt(temp * temp + eps_psi))
                 # Laplacian-noise gate: channels whose estimated noise is ~0
-                # keep psi = 0 (OpticalFlow.cpp:332-338)
-                psi = psi * (lap_para >= 1e-20)
+                # keep psi = 0 (OpticalFlow.cpp:332-338). lap_para (..., C)
+                # broadcasts against (..., H, W, C)
+                psi = psi * (lap_para[..., None, None, :] >= 1e-20)
 
             # collapse = channel average (Image::collapse average mode)
             imdxy = jnp.mean(psi * imdx * imdy, axis=-1)
@@ -395,8 +444,8 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
                 fh = dx_forward(f[..., None])[..., 0] * phi
                 fv = dy_forward(f[..., None])[..., 0] * phi
                 out = -fh - fv
-                out = out + jnp.pad(fh[:, :-1], ((0, 0), (1, 0)))
-                out = out + jnp.pad(fv[:-1, :], ((1, 0), (0, 0)))
+                out = out + jnp.pad(fh[..., :, :-1], _axpad(fh.ndim, -1, 1, 0))
+                out = out + jnp.pad(fv[..., :-1, :], _axpad(fv.ndim, -2, 1, 0))
                 return out
 
             b1 = -imdtdx - alpha * lap(u)
@@ -433,8 +482,8 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
             # mean |It|
             diff = jnp.abs(im1f - warp)
             valid = (diff > 0) & (diff < 1e6)
-            cnt = jnp.maximum(valid.sum(axis=(0, 1)), 1)
-            lap_para = (diff * valid).sum(axis=(0, 1)) / cnt
+            cnt = jnp.maximum(valid.sum(axis=(-3, -2)), 1)
+            lap_para = (diff * valid).sum(axis=(-3, -2)) / cnt
     return u, v, warp, lap_para, gm
 
 
@@ -463,19 +512,23 @@ def coarse2fine_flow(
     if ratio > 0.98 or ratio < 0.4:
         ratio = 0.75
 
-    n_ch = 3 if im1.shape[2] == 1 else (5 if im1.shape[2] == 3 else im1.shape[2])
-    lap_para = jnp.full((n_ch,), 0.02, jnp.float32)
-    gm = gaussian_mixture_init(n_ch) if noise_model == "gmm" else None
+    n_ch = 3 if im1.shape[-1] == 1 else (5 if im1.shape[-1] == 3
+                                          else im1.shape[-1])
+    lead = im1.shape[:-3]
+    lap_para = jnp.full(lead + (n_ch,), 0.02, jnp.float32)
+    gm = (tuple(jnp.broadcast_to(p, lead + (n_ch,))
+                for p in gaussian_mixture_init(n_ch))
+          if noise_model == "gmm" else None)
 
     u = v = None
     warp = None
     for k in range(len(pyr1) - 1, -1, -1):
         f1 = im2feature(pyr1[k])
         f2 = im2feature(pyr2[k])
-        h, w = f1.shape[0], f1.shape[1]
+        h, w = f1.shape[-3], f1.shape[-2]
         if u is None:
-            u = jnp.zeros((h, w), jnp.float32)
-            v = jnp.zeros((h, w), jnp.float32)
+            u = jnp.zeros(f1.shape[:-3] + (h, w), jnp.float32)
+            v = jnp.zeros(f1.shape[:-3] + (h, w), jnp.float32)
             warp = f2
         else:
             u = imresize(u[..., None], h, w)[..., 0] * (1 / ratio)
@@ -490,3 +543,23 @@ def coarse2fine_flow(
     # warpFL/bicubic per the interpolation switch)
     warped = jnp.clip(_WARPERS[interpolation](im1, im2, u, v), 0.0, 1.0)
     return u, v, warped
+
+
+def coarse2fine_flow_batched(
+    im1s: jnp.ndarray, im2s: jnp.ndarray, **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """coarse2fine_flow over B independent pairs (B, H, W, C) in ONE dense
+    device program: every stage (pyramid, im2feature, IRLS, red-black SOR,
+    warps) carries an explicit leading batch dim, and the warps' data-
+    dependent lookups are single batched take_along_axis gathers.
+
+    This is the TPU batching path — an outer ``jax.vmap`` over the solver
+    faults the TPU worker at B >= 4 (kernel fault, v5e / jax 0.9; B = 2
+    worked and was the round-2 config2 regime). The explicit batch avoids
+    vmap entirely. Returns (vx, vy, warped), each with leading B."""
+    im1s = jnp.asarray(im1s, jnp.float32)
+    im2s = jnp.asarray(im2s, jnp.float32)
+    if im1s.ndim == 3:                       # (B, H, W) gray
+        im1s, im2s = im1s[..., None], im2s[..., None]
+    assert im1s.ndim == 4, "batched input must be (B, H, W, C)"
+    return coarse2fine_flow(im1s, im2s, **kw)

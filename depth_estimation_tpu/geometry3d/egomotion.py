@@ -381,6 +381,95 @@ def _ego_motion_jit(img1, img2, K, max_points: int, quality, key) -> EgoMotion:
     return get_ego_motion_from_matches(pts, pts2, valid, K, key=key)
 
 
+# ---------------------------------------------------------------------------
+# Batched variants: B independent frame pairs in ONE device program (the
+# full-pipeline throughput regime, benchmarks/bench_full_pipeline.py)
+# ---------------------------------------------------------------------------
+
+def _to_gray_batched(imgs: jnp.ndarray) -> jnp.ndarray:
+    if imgs.ndim == 4 and imgs.shape[-1] == 3:
+        w = jnp.asarray([0.299, 0.587, 0.114], imgs.dtype)
+        return (imgs * w).sum(-1)
+    return imgs[..., 0] if imgs.ndim == 4 else imgs
+
+
+def _box_blast(img_hwb: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Box filter on (H, W, B) with window (k, k, 1) — batch stays on the
+    lane dimension."""
+    p = jnp.pad(img_hwb,
+                ((k // 2, k - 1 - k // 2), (k // 2, k - 1 - k // 2), (0, 0)))
+    return jax.lax.reduce_window(p, 0.0, jax.lax.add, (k, k, 1), (1, 1, 1),
+                                 "VALID")
+
+
+def good_features_to_track_batched(
+    imgs: jnp.ndarray, max_points: int, quality: float = 0.01,
+    min_dist: int = 8, block: int = 5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched Shi-Tomasi: imgs (B, H, W[, 3]) -> (pts (B, N, 2) as (x, y),
+    valid (B, N) bool). Same selection rule as good_features_to_track.
+
+    Batch-LAST layout for every windowed op: a vmapped 2-D reduce_window
+    lowers to (B, H, W, 1) temps whose trailing singleton is lane-padded
+    128x (the layout blowup documented at patch_ssd_costs,
+    data/groundtruth.py); with (H, W, B) the batch fills the lanes."""
+    g = jnp.transpose(_to_gray_batched(imgs), (1, 2, 0))       # (H, W, B)
+    gx = (jnp.pad(g[:, 2:], ((0, 0), (0, 2), (0, 0)))
+          - jnp.pad(g[:, :-2], ((0, 0), (2, 0), (0, 0)))) / 2
+    gy = (jnp.pad(g[2:, :], ((0, 2), (0, 0), (0, 0)))
+          - jnp.pad(g[:-2, :], ((2, 0), (0, 0), (0, 0)))) / 2
+    ixx = _box_blast(gx * gx, block)
+    iyy = _box_blast(gy * gy, block)
+    ixy = _box_blast(gx * gy, block)
+    tr = ixx + iyy
+    det = ixx * iyy - ixy * ixy
+    lam_min = tr / 2 - jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+    H, W, B = g.shape
+    b = max(block, 3)
+    border = jnp.zeros((H, W, 1), bool).at[b:-b, b:-b].set(True)
+    lam = jnp.where(border, lam_min, 0.0)
+    k = max(int(min_dist) | 1, 3)
+    p = jnp.pad(lam, ((k // 2, k - 1 - k // 2), (k // 2, k - 1 - k // 2),
+                      (0, 0)), constant_values=-jnp.inf)
+    mx = jax.lax.reduce_window(p, -jnp.inf, jax.lax.max, (k, k, 1),
+                               (1, 1, 1), "VALID")
+    is_peak = (lam >= mx) & (lam > 0)
+    score = jnp.where(is_peak, lam, 0.0)
+    score = jnp.transpose(score, (2, 0, 1)).reshape(B, H * W)
+    vals, flat = jax.lax.top_k(score, max_points)
+    ys = (flat // W).astype(jnp.float32)
+    xs = (flat % W).astype(jnp.float32)
+    valid = vals > quality * jnp.maximum(vals[:, :1], 1e-20)
+    return jnp.stack([xs, ys], axis=-1), valid
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
+                            key) -> EgoMotion:
+    B = imgs1.shape[0]
+    pts, pvalid = good_features_to_track_batched(imgs1, max_points, quality)
+    # track_lk's patch sampling is batched dot_generals under vmap (the
+    # one-hot-matmul formulation stays on the MXU); no windowed ops inside
+    pts2, status = jax.vmap(track_lk)(imgs1, imgs2, pts)
+    valid = pvalid & status
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda p1, p2, v, k: get_ego_motion_from_matches(p1, p2, v, K, key=k)
+    )(pts, pts2, valid, keys)
+
+
+def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,
+                           quality: float = 0.001, key=None) -> EgoMotion:
+    """get_ego_motion over B independent frame pairs in one jitted program.
+    imgs1/imgs2: (B, H, W[, 3]). Returns EgoMotion with leading batch dims:
+    R (B, 3, 3), T (B, 3), n_inliers/n_found (B,)."""
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    return _ego_motion_batched_jit(jnp.asarray(imgs1), jnp.asarray(imgs2),
+                                   jnp.asarray(K, jnp.float32),
+                                   int(max_points), jnp.float32(quality), key)
+
+
 def get_ego_motion(img1, img2, K, max_points: int = 400,
                    quality: float = 0.001, key=None) -> EgoMotion:
     """Full sfm2.getEgoMotion surface: detect corners in img1, LK-track to

@@ -80,3 +80,49 @@ def remove_ego_motion(img: jnp.ndarray, K, R) -> jnp.ndarray:
     ok = ((xs >= -eps) & (xs <= W - 1 + eps)
           & (ys >= -eps) & (ys <= H - 1 + eps))
     return out * ok[..., None]
+
+
+def _homography_grid(K, R, H: int, W: int):
+    """Sample coordinates of the infinite-homography warp out(x) =
+    img(K R K^-1 x). K (3,3) shared; R (..., 3, 3) per item. Returns
+    (xs, ys) (..., H, W)."""
+    K = jnp.asarray(K, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    Hm = K @ R @ jnp.linalg.inv(K)                      # (..., 3, 3)
+    j = jnp.arange(W, dtype=jnp.float32)
+    i = jnp.arange(H, dtype=jnp.float32)
+    xx, yy = jnp.meshgrid(j, i)
+    p = jnp.stack([xx, yy, jnp.ones_like(xx)])          # (3, H, W)
+    q = jnp.einsum("...ab,bhw->...ahw", Hm, p)
+    return q[..., 0, :, :] / q[..., 2, :, :], q[..., 1, :, :] / q[..., 2, :, :]
+
+
+def remove_ego_motion_batched(imgs: jnp.ndarray, K, R) -> jnp.ndarray:
+    """remove_ego_motion over B items with per-item rotations — imgs
+    (B, H, W, C), R (B, 3, 3). The four bilinear corner lookups are single
+    batched take_along_axis gathers over the flattened (H*W) axis (the
+    celiu _gather_hw formulation) instead of a vmapped 2-D gather — the
+    vmapped form measured 6.2 ms/pair on the 10-channel feature maps of the
+    batched full pipeline; this one is the fast path it replaces
+    (benchmarks/profile_full_pipeline.py)."""
+    from ..flow.celiu import bilinear_sample
+    B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    xs, ys = _homography_grid(K, R, H, W)               # (B, H, W)
+    out = bilinear_sample(imgs, xs, ys)
+    eps = 1e-3
+    ok = ((xs >= -eps) & (xs <= W - 1 + eps)
+          & (ys >= -eps) & (ys <= H - 1 + eps))
+    return out * ok[..., None]
+
+
+def ego_motion_valid_mask(K, R, H: int, W: int) -> jnp.ndarray:
+    """The warp-validity mask of remove_ego_motion — computed ANALYTICALLY
+    (pure elementwise range test on the homography grid, no gather at all;
+    warping a ones-image costs the same 4-tap gather as the real warp for a
+    result that is just the in-range indicator). R (..., 3, 3) ->
+    (..., H, W) float mask."""
+    xs, ys = _homography_grid(K, R, H, W)
+    eps = 1e-3
+    ok = ((xs >= -eps) & (xs <= W - 1 + eps)
+          & (ys >= -eps) & (ys <= H - 1 + eps))
+    return ok.astype(jnp.float32)

@@ -127,3 +127,20 @@ def enlarge_mask(mask: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
         padding="VALID",
     )
     return eroded > 0.5
+
+
+def enlarge_mask_batched(mask: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
+    """enlarge_mask over a batch: (B, H, W) -> (B, H, W) bool. Batch-LAST
+    layout for the windowed reduce (window (kh, kw, 1) on (H, W, B)) — a
+    vmapped 2-D reduce_window would lane-pad a trailing singleton 128x
+    (see good_features_to_track_batched, geometry3d/egomotion.py)."""
+    m = jnp.transpose(mask.astype(jnp.float32), (1, 2, 0))
+    m = jnp.pad(m, ((kh // 2, kh - 1 - kh // 2),
+                    (kw // 2, kw - 1 - kw // 2), (0, 0)))
+    eroded = jax.lax.reduce_window(
+        m, 1.0, jax.lax.min,
+        window_dimensions=(kh, kw, 1),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+    )
+    return jnp.transpose(eroded, (2, 0, 1)) > 0.5

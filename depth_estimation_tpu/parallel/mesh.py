@@ -123,3 +123,121 @@ def sharded_flow_fn(model, mesh: Mesh, axis: str = "dp"):
         check_vma=False,   # Pallas outputs carry no vma metadata
     )
     return jax.jit(mapped)
+
+
+def spatial_sharded_multiscale_fn(model, mesh: Mesh, axis: str = "sp"):
+    """Row-sharded MULTISCALE full-image forward: ONE frame pair split
+    across devices along image rows, each device computing its row slice of
+    ``MultiscaleFlowModel.forward_full`` EXACTLY (same concatenated-codec
+    distribution) with two halo exchanges.
+
+    Index map (see forward_full, models/multiscale.py): at pyramid ratio r
+    the output dist row yc needs downsampled rows
+    [yc - pad_top, yc + hPatch2 - 2 - pad_top] (conv footprint + matcher
+    window; hP = hPatch2 - 1 = hKernel + maxh - 2 splits into the
+    pad_patch_border (pad_top, pad_bot)). A shard owning full-res rows
+    [i*Hs, (i+1)*Hs) therefore needs input halos of rmax*pad_top rows from
+    the device ABOVE and rmax*pad_bot rows from BELOW — both fetched with
+    one ppermute each; edge devices receive zeros, which coincide exactly
+    with pad_patch_border's zero rows, so the sharded result equals the
+    unsharded one bitwise (equality-tested on the 8-mesh,
+    tests/test_parallel.py).
+
+    Constraint: hImg must divide evenly: hImg % (n_devices * rmax) == 0.
+    Returns fn(params, img1 (hImg, wImg, C), img2) -> (hImg, wImg,
+    n_indices) multiscale distribution, row-sharded across the mesh.
+    """
+    from ..models import multiscale as ms
+    from ..ops import matching
+
+    g = model.geometry
+    n = mesh.devices.size
+    ratios = tuple(g.ratios)
+    rmax = max(ratios)
+    assert g.hImg % (n * rmax) == 0, (g.hImg, n, rmax)
+    Hs = g.hImg // n
+    hP = g.hPatch2 - 1
+    wp = g.wPatch2 - 1
+    pad_top, pad_bot = hP // 2, hP - hP // 2
+    T = rmax * pad_top                      # top halo (full-res rows)
+    Bm = rmax * pad_bot                     # bottom halo
+    assert Hs >= max(T, Bm), (
+        f"shard height {Hs} smaller than the halo ({T}/{Bm} rows): "
+        f"halos come from ONE neighbor; use fewer devices or taller frames")
+    perm_top = [(i, i + 1) for i in range(n - 1)]   # receive from above
+    perm_bot = [(i + 1, i) for i in range(n - 1)]   # receive from below
+
+    def local(params, s1, s2):
+        def ext(s):
+            top = jax.lax.ppermute(s[Hs - T:], axis, perm_top)
+            bot = jax.lax.ppermute(s[:Bm], axis, perm_bot)
+            return jnp.concatenate([top, s, bot], axis=0)
+
+        e1, e2 = ext(s1), ext(s2)
+        dists = []
+        for r in ratios:
+            start = T // r - pad_top
+            L = Hs // r + hP
+            wpad = ((0, 0), (wp // 2, wp - wp // 2), (0, 0))
+            d1 = jnp.pad(ms.avg_downsample(e1, r)[start:start + L], wpad)
+            d2 = jnp.pad(ms.avg_downsample(e2, r)[start:start + L], wpad)
+            f1f = model.filter.apply(params, d1)
+            f2 = model.filter.apply(params, d2)
+            f1 = f1f[g.halfh1:g.halfh1 + Hs // r,
+                     g.halfw1:f1f.shape[1] - g.halfw2, :]
+            costs = matching.match_ssd(f1, f2, g.maxh, g.maxw)
+            dist = jax.nn.softmax(-costs, axis=-1)
+            if r > 1:
+                dist = jnp.repeat(jnp.repeat(dist, r, axis=0), r, axis=1)
+                dist = dist[:Hs, :g.wImg]
+            dists.append(dist.reshape(Hs, g.wImg, -1))
+        fused = ms.apply_cascade(g, params, dists)
+        return ms.middle_removal_concat(g, fused)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def spatial_sharded_radial_fn(net, mesh: Mesh, axis: str = "sp"):
+    """Row-sharded RADIAL (polar 1-D) matcher: the polar pair is split along
+    rows (radii); each device pulls the one-sided bottom halo its conv
+    footprint + hWin search needs from the device below via ppermute and
+    computes its slice of ``RadialFlowNetwork.flow``. The last shard's halo
+    arrives as zeros — identical to running the unsharded matcher on a
+    zero-bottom-padded polar pair (the same convention as
+    spatial_sharded_flow_fn; equality-tested in tests/test_parallel.py).
+
+    Returns fn(params, polar_prev (H, W, C), polar_curr) -> (flow, min_cost)
+    with H = n_devices * rows_per_shard.
+    """
+    from ..ops import matching
+
+    n = mesh.devices.size
+    halo = (net.h_kernel - 1) + (net.h_win - 1)
+    perm = [(i + 1, i) for i in range(n - 1)]       # pull rows from below
+
+    def local(params, s1, s2):
+        h1 = jax.lax.ppermute(s1[:halo], axis, perm)
+        h2 = jax.lax.ppermute(s2[:halo], axis, perm)
+        e1 = jnp.concatenate([s1, h1], axis=0)
+        e2 = jnp.concatenate([s2, h2], axis=0)
+        fp = net.filter.apply(params, e1)[:s1.shape[0]]
+        fc = net.filter.apply(params, e2)[:s1.shape[0] + net.h_win - 1]
+        costs = matching.match_ssd_radial(fp, fc, net.h_win)
+        return (jnp.argmin(costs, axis=-1).astype(jnp.int32),
+                jnp.min(costs, axis=-1))
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

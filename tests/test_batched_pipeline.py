@@ -1,0 +1,124 @@
+"""Batched full-pipeline correctness: the B-pairs-per-dispatch program
+(api.make_batched_pipeline) and its batched building blocks must agree with
+the per-frame path (DepthEstimator._step) they amortize.
+
+Keys differ between the two paths (the batched RANSAC splits one key per
+pair), so agreement is physical (recovered motion, flow, masks), not
+bitwise."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depth_estimation_tpu import api
+from depth_estimation_tpu.geometry import Geometry
+from depth_estimation_tpu.geometry3d import calibration as calmod
+from depth_estimation_tpu.geometry3d import egomotion as ego
+from depth_estimation_tpu.models.flow import FlowModel
+from depth_estimation_tpu.ops import extract
+
+
+def _texture(rng, h, w):
+    """Smooth random texture with enough corners for Shi-Tomasi."""
+    base = rng.rand(h // 4, w // 4, 3).astype(np.float32)
+    img = jax.image.resize(jnp.asarray(base), (h, w, 3), "bilinear")
+    return np.asarray(img)
+
+
+def test_good_features_batched_matches_single():
+    rng = np.random.RandomState(0)
+    imgs = np.stack([_texture(rng, 48, 64) for _ in range(3)])
+    pb, vb = ego.good_features_to_track_batched(jnp.asarray(imgs), 32, 0.01)
+    for i in range(3):
+        ps, vs = ego.good_features_to_track(jnp.asarray(imgs[i]), 32, 0.01)
+        # same corners selected (ordering may swap among near-equal scores:
+        # compare as sets of valid points)
+        got = {tuple(p) for p, v in zip(np.asarray(pb[i]), np.asarray(vb[i])) if v}
+        want = {tuple(p) for p, v in zip(np.asarray(ps), np.asarray(vs)) if v}
+        inter = len(got & want)
+        assert inter >= 0.9 * max(len(want), 1), (i, inter, len(want))
+
+
+def test_enlarge_mask_batched_matches_single():
+    rng = np.random.RandomState(1)
+    m = rng.rand(4, 20, 26) > 0.3
+    out_b = np.asarray(extract.enlarge_mask_batched(jnp.asarray(m), 5, 3))
+    for i in range(4):
+        out_s = np.asarray(extract.enlarge_mask(jnp.asarray(m[i]), 5, 3))
+        np.testing.assert_array_equal(out_b[i], out_s)
+
+
+def test_ego_motion_batched_recovers_rotation():
+    """Each batch item is a pair related by a known small rotation; the
+    batched estimator must recover each R (same physics as the per-pair
+    path, tests/test_egomotion.py)."""
+    from depth_estimation_tpu.geometry3d import undistort as undist
+    rng = np.random.RandomState(2)
+    h, w = 96, 128
+    K = np.array([[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]],
+                 np.float32)
+    angles = [0.01, -0.015, 0.02]
+    im1s, im2s = [], []
+    for a in angles:
+        img = _texture(rng, h, w)
+        c, s = np.cos(a), np.sin(a)
+        # rotate about the y axis (pan): warp with the infinite homography
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        im2 = np.asarray(undist.remove_ego_motion(
+            jnp.asarray(img), K, jnp.asarray(R.T)))
+        im1s.append(img)
+        im2s.append(im2)
+    em = ego.get_ego_motion_batched(jnp.asarray(np.stack(im1s)),
+                                    jnp.asarray(np.stack(im2s)), K,
+                                    max_points=200, quality=0.001)
+    R = np.asarray(em.R)
+    for i, a in enumerate(angles):
+        got = np.arcsin(np.clip(R[i][0, 2], -1, 1))
+        assert abs(got - a) < 5e-3, (i, got, a)
+
+
+def test_batched_pipeline_agrees_with_step():
+    """The batched program's flow/mask agree with DepthEstimator's per-frame
+    path on translation pairs (identical physics; keys differ)."""
+    rng = np.random.RandomState(3)
+    h, w = 64, 80
+    cal = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="t", wImg=w, hImg=h,
+        fx=80.0, fy=80.0, cx=w / 2, cy=h / 2,
+        sfm=dataclasses.replace(calmod.RECTIFIED_GOPRO_SMALL.sfm,
+                                max_points=128))
+    g = Geometry(hImg=h, wImg=w, layers=((3, 5, 5, 8),), maxh=6, maxw=6)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+
+    B = 2
+    f1s, f2s = [], []
+    for b in range(B):
+        img = _texture(rng, h, w)
+        dx = 1 + b
+        img2 = np.roll(img, -dx, axis=1)
+        f1s.append(img)
+        f2s.append(img2)
+    frames1 = jnp.asarray(np.stack(f1s))
+    frames2 = jnp.asarray(np.stack(f2s))
+
+    pipe = api.make_batched_pipeline(g, cal)
+    xflow, mask, depth, good = pipe(params, frames1, frames2)
+    xflow, mask, good = (np.asarray(a) for a in (xflow, mask, good))
+
+    est = api.DepthEstimator(g, params, cal)
+    for b in range(B):
+        est.reset(np.asarray(f1s[b]))
+        _, xf_s, mask_s = est.next_frame_depth(np.asarray(f2s[b]))
+        sel = (mask[b] > 0) & (mask_s > 0)
+        assert sel.mean() > 0.2, sel.mean()
+        # same flow wherever both paths kept the pixel
+        np.testing.assert_allclose(xflow[b][sel], xf_s[sel], atol=0.35)
+        # both mask pipelines keep mostly the same pixels
+        agree = ((mask[b] > 0) == (mask_s > 0)).mean()
+        assert agree > 0.9, agree
+    # depth rule sanity: finite depths only where flow is significant
+    d = np.asarray(depth)
+    assert np.isfinite(d[np.abs(xflow) >= 0.1]).all()

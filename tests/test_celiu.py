@@ -251,3 +251,50 @@ def test_flow_render_vs_bundled_reference_output():
     sel = mag > np.percentile(mag, 60)
     cos2 = (u * dx + v * dy)[sel] / np.maximum(mag[sel], 1e-9)
     assert cos2.mean() > 0.95, cos2.mean()
+
+
+def test_batched_solver_matches_single():
+    """coarse2fine_flow_batched (explicit leading batch dim — the TPU
+    batching path replacing the vmap that faults the worker at B >= 4)
+    must reproduce the single-pair solver on every item."""
+    rng = np.random.RandomState(11)
+    H, W = 36, 48
+    pairs = []
+    for b in range(3):
+        im1 = rng.rand(H, W, 3).astype(np.float32)
+        im2 = np.roll(im1, b + 1, axis=1)
+        pairs.append((im1, im2))
+    kw = dict(alpha=0.02, ratio=0.75, min_width=16,
+              n_outer=2, n_inner=1, n_sor=10)
+    ub, vb, wb = celiu.coarse2fine_flow_batched(
+        jnp.asarray(np.stack([p[0] for p in pairs])),
+        jnp.asarray(np.stack([p[1] for p in pairs])), **kw)
+    for b, (im1, im2) in enumerate(pairs):
+        us, vs, ws = celiu.coarse2fine_flow(
+            jnp.asarray(im1), jnp.asarray(im2), **kw)
+        np.testing.assert_allclose(np.asarray(ub[b]), np.asarray(us),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vb[b]), np.asarray(vs),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(wb[b]), np.asarray(ws),
+                                   atol=1e-4)
+
+
+def test_batched_solver_matches_single_gmm_bicubic():
+    """The two solver switches (GMixture noise model, bicubic warp) must
+    also agree between the explicit-batch and single-pair paths."""
+    rng = np.random.RandomState(12)
+    H, W = 32, 40
+    im1 = rng.rand(H, W, 3).astype(np.float32)
+    im2 = np.roll(im1, 2, axis=1)
+    kw = dict(alpha=0.02, ratio=0.75, min_width=16,
+              n_outer=2, n_inner=1, n_sor=8,
+              noise_model="gmm", interpolation="bicubic")
+    ub, vb, _ = celiu.coarse2fine_flow_batched(
+        jnp.asarray(im1[None]), jnp.asarray(im2[None]), **kw)
+    us, vs, _ = celiu.coarse2fine_flow(jnp.asarray(im1), jnp.asarray(im2),
+                                       **kw)
+    np.testing.assert_allclose(np.asarray(ub[0]), np.asarray(us),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vb[0]), np.asarray(vs),
+                               rtol=1e-4, atol=1e-4)

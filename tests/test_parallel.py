@@ -106,3 +106,57 @@ def test_pad_to_multiple_for_sharding(mesh8):
     np.testing.assert_array_equal(xp[10:], np.repeat(x[-1:], 6, axis=0))
     sharded = shard_batch(jnp.asarray(xp), mesh8, axis="sp")
     assert sharded.shape == (16, 3)
+
+
+def test_spatial_sharded_multiscale_matches_unsharded():
+    """Row-sharded multiscale forward (two-sided halo exchange) must equal
+    forward_full exactly — the halos make every device's pyramid slice
+    identical to the corresponding rows of the unsharded computation."""
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+
+    g = Geometry(hImg=64, wImg=48, layers=((3, 5, 5, 6),), maxh=4, maxw=4,
+                 multiscale=True, ratios=(1, 2, 4))
+    model = MultiscaleFlowModel(g)
+    params = model.init(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(2)
+    img1 = jnp.asarray(rng.rand(64, 48, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(64, 48, 3), jnp.float32)
+
+    # 2-device sub-mesh: 64 rows = 2 x 32, and 32 % rmax == 0
+    mesh2 = pmesh.make_mesh(jax.devices()[:2], axis="sp")
+    fn = pmesh.spatial_sharded_multiscale_fn(model, mesh2, axis="sp")
+    out_s = np.asarray(fn(params, img1, img2))
+
+    out_u = np.asarray(model.forward_full(params, img1, img2))
+    np.testing.assert_allclose(out_s, out_u, rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_sharded_radial_matches_unsharded(mesh8):
+    """Row-sharded radial matcher: equals the unsharded flow() on a
+    bottom-zero-padded polar pair (same convention as the single-scale
+    halo sharding)."""
+    from depth_estimation_tpu.models.radial import RadialFlowNetwork
+
+    net = RadialFlowNetwork(
+        layers=((3, 5, 5, 6), "tanh"), h_win=4)
+    params = net.init(jax.random.PRNGKey(3), 32, 32)
+    rng = np.random.RandomState(3)
+    H, W = 64, 32    # 8 devices x 8 rows
+    p1 = jnp.asarray(rng.rand(H, W, 3), jnp.float32)
+    p2 = jnp.asarray(rng.rand(H, W, 3), jnp.float32)
+
+    fn = pmesh.spatial_sharded_radial_fn(net, mesh8, axis="sp")
+    flow_s, cost_s = fn(params, p1, p2)
+
+    halo = (net.h_kernel - 1) + (net.h_win - 1)
+    pp1 = jnp.pad(p1, ((0, halo), (0, 0), (0, 0)))
+    pp2 = jnp.pad(p2, ((0, halo), (0, 0), (0, 0)))
+    fp = net.filter.apply(params, pp1)[:H]
+    fc = net.filter.apply(params, pp2)[:H + net.h_win - 1]
+    from depth_estimation_tpu.ops import matching as m
+    costs = m.match_ssd_radial(fp, fc, net.h_win)
+    flow_u = np.asarray(jnp.argmin(costs, -1))
+    cost_u = np.asarray(jnp.min(costs, -1))
+
+    np.testing.assert_array_equal(np.asarray(flow_s), flow_u)
+    np.testing.assert_allclose(np.asarray(cost_s), cost_u, atol=1e-5)

@@ -66,7 +66,7 @@ def main():
     pts, pvalid = corners(u1)
     print(f"corners (shi-tomasi+topk):   {timed(lambda: corners(u1))*1e3/B:.3f} ms/pair", flush=True)
 
-    lk = jax.jit(lambda a, b, p: jax.vmap(ego.track_lk)(a, b, p))
+    lk = jax.jit(lambda a, b, p: jax.vmap(ego.track_lk_windowed)(a, b, p))
     pts2, status = lk(u1, u2, pts)
     print(f"LK track:                    {timed(lambda: lk(u1, u2, pts))*1e3/B:.3f} ms/pair", flush=True)
 
@@ -81,9 +81,11 @@ def main():
 
     @jax.jit
     def warp(feats, R):
-        return jax.vmap(lambda f, r: undist.remove_ego_motion(f, Ks, r))(feats, R)
-    w = warp(feats1, em.R)
-    print(f"warp features:               {timed(lambda: warp(feats1, em.R))*1e3/B:.3f} ms/pair", flush=True)
+        return (undist.remove_ego_motion_batched(feats, Ks, R),
+                undist.ego_motion_valid_mask(Ks, R, feats.shape[1],
+                                             feats.shape[2]))
+    w, _ = warp(feats1, em.R)
+    print(f"warp features (flat gather): {timed(lambda: warp(feats1, em.R))*1e3/B:.3f} ms/pair", flush=True)
 
     @jax.jit
     def match(w, feats2):

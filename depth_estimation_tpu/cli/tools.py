@@ -57,8 +57,139 @@ def cmd_rectify(args) -> int:
     return 0
 
 
+def _recency_star(date_str: str, today: str) -> str:
+    """The reference's recency marker (download_model.lua:111-124):
+    ' **' for today's files, ' *' within 2 days, '' otherwise."""
+    if not date_str:
+        return ""
+    if date_str == today:
+        return " **"
+    try:
+        import datetime as _dt
+        d1 = _dt.date.fromisoformat(date_str)
+        d2 = _dt.date.fromisoformat(today)
+        if (d2 - d1).days % 365 < 2:
+            return " *"
+    except ValueError:
+        pass
+    return ""
+
+
+def _select_menu(entries, today: str, input_fn, specials=()):
+    """Numbered menu with recency stars (selectFile,
+    download_model.lua:126-150). entries: [(name, date)]. Returns the
+    chosen entry, a special string the user typed, or None."""
+    if not entries:
+        print("No files in specified directory")
+        return None
+    for i, (name, date) in enumerate(entries, 1):
+        print(f"({i}) {name}{_recency_star(date, today)}")
+    while True:
+        s = input_fn()
+        if s in specials:
+            return s
+        if s == "" and len(entries) == 1:
+            return entries[0]
+        try:
+            i = int(s)
+        except (TypeError, ValueError):
+            continue
+        if 1 <= i <= len(entries):
+            return entries[i - 1]
+
+
+def _select_epoch(entries, input_fn):
+    """Epoch menu (selectEpoch, download_model.lua:152-177): requires a
+    contiguous 0..N run, empty input = last. entries: [(name, date, n)]."""
+    entries = sorted(entries, key=lambda e: e[2])
+    ns = [e[2] for e in entries]
+    if not ns or ns[0] != 0 or ns[-1] != len(ns) - 1:
+        print("Missing epochs, can't perform model selection")
+        return None
+    print(f"Select epoch: 0..{ns[-1]} (default = last)")
+    while True:
+        s = input_fn()
+        if s == "":
+            return entries[-1]
+        try:
+            i = int(s)
+        except (TypeError, ValueError):
+            continue
+        if 0 <= i <= ns[-1]:
+            return entries[i]
+
+
+def _epoch_number(name: str):
+    """'e12' (this repo's checkpoints) or 'model_of__e12' (the reference's
+    torch files) -> 12; otherwise None."""
+    import re
+    m = re.fullmatch(r"(?:model_of__)?e(\d+)(?:\.bin)?", name)
+    return int(m.group(1)) if m else None
+
+
+def _ssh_lister(host):
+    def lister(path):
+        out = subprocess.run(
+            ["ssh", host, f"ls -l --time-style=+%F {path}"],
+            capture_output=True, text=True, timeout=30, check=True)
+        entries = []
+        for line in out.stdout.splitlines():
+            parts = line.split()
+            if len(parts) >= 7 and (line[0] == "d" or line[0] == "-"):
+                entries.append((parts[-1], parts[-2]))
+        return entries
+    return lister
+
+
+def cmd_download_interactive(args, lister=None, input_fn=input,
+                             today=None) -> int:
+    """Interactive model browser (download_model.lua:179-226 prompt):
+    descend the remote model hierarchy one numbered menu at a time (recency
+    stars on fresh entries), pick an epoch at the leaf (contiguous-run
+    check, default last), scp it down. ``lister``/``input_fn`` are
+    injectable for tests."""
+    import datetime as _dt
+
+    if today is None:
+        today = _dt.date.today().isoformat()
+    if lister is None:
+        try:
+            lister = _ssh_lister(args.host)
+            lister(args.remote_dir)
+        except (FileNotFoundError, subprocess.SubprocessError) as e:
+            print(f"ssh unavailable: {e}", file=sys.stderr)
+            return 1
+
+    path = args.remote_dir
+    while True:
+        entries = lister(path)
+        if entries is None or not entries:
+            print("No files in specified directory")
+            return 1
+        epochs = [(n, d, _epoch_number(n)) for n, d in entries
+                  if _epoch_number(n) is not None]
+        if epochs:
+            pick = _select_epoch(epochs, input_fn)
+            if pick is None:
+                return 1
+            target = f"{path}/{pick[0]}"
+            break
+        pick = _select_menu(entries, today, input_fn)
+        if pick is None:
+            return 1
+        path = f"{path}/{pick[0]}"
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    print(f"fetching {target}")
+    subprocess.run(["scp", "-r", f"{args.host}:{target}", args.output_dir],
+                   check=True)
+    return 0
+
+
 def cmd_download(args) -> int:
     """ssh/scp model fetch (gated on ssh availability)."""
+    if getattr(args, "interactive", False):
+        return cmd_download_interactive(args)
     try:
         out = subprocess.run(
             ["ssh", args.host, f"ls -1 {args.remote_dir}"],
@@ -370,6 +501,10 @@ def main(argv=None) -> int:
     d.add_argument("--remote-dir", default="models")
     d.add_argument("--filter", default="")
     d.add_argument("--latest", action="store_true")
+    d.add_argument("--interactive", action="store_true",
+                   help="menu-driven model browser (the download_model.lua "
+                        "prompt: filter/learning/images menus with recency "
+                        "stars, epoch selection)")
     d.add_argument("--output-dir", default=".")
 
     s = sub.add_parser("stream")

@@ -129,6 +129,99 @@ def _sample_patches(img: jnp.ndarray, pts: jnp.ndarray, win: int) -> jnp.ndarray
         precision=jax.lax.Precision.HIGHEST)           # (N, win, win)
 
 
+def _axis_onehot_int(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """One-hot selection matrix for INTEGER indices with border clamping
+    (replicate semantics, matching _axis_weights). idx (...,) int32 ->
+    (..., n) f32."""
+    ii = jnp.arange(n, dtype=jnp.int32)
+    return (ii == jnp.clip(idx, 0, n - 1)[..., None]).astype(jnp.float32)
+
+
+def track_lk_windowed(
+    img1: jnp.ndarray, img2: jnp.ndarray, pts: jnp.ndarray,
+    win: int = 15, n_levels: int = 3, n_iters: int = 10, search: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Faster LK with window caching: per pyramid level the search image is
+    gathered ONCE per point into an integer-aligned (search, search) window
+    (one-hot row/column matmuls, exact pixel values); each of the n_iters
+    bilinear resamples then runs INSIDE the tiny window, so the big
+    per-iteration (N, win, H) @ (H, W) matmuls of track_lk collapse to
+    (N, win, search) ones — ~5x fewer MXU FLOPs for identical math whenever
+    the residual motion at each level stays within (search - win)/2 px
+    (larger motions clamp at the window edge and get rejected by the same
+    border-status test). Track agreement with track_lk is pinned by
+    tests/test_egomotion.py."""
+    g1 = _to_gray(jnp.asarray(img1))
+    g2 = _to_gray(jnp.asarray(img2))
+    from ..models.multiscale import avg_downsample
+    pyr1 = [g1]
+    pyr2 = [g2]
+    for _ in range(n_levels - 1):
+        pyr1.append(avg_downsample(pyr1[-1][..., None], 2)[..., 0])
+        pyr2.append(avg_downsample(pyr2[-1][..., None], 2)[..., 0])
+
+    off = jnp.arange(win, dtype=jnp.float32) - (win - 1) / 2.0
+    d = jnp.zeros_like(pts)
+    for lvl in range(n_levels - 1, -1, -1):
+        scale = 2.0 ** lvl
+        p_lvl = pts / scale
+        i1 = pyr1[lvl]
+        i2 = pyr2[lvl]
+        H, W = i1.shape
+        t = _sample_patches(i1, p_lvl, win)                 # template
+        tx = (t[:, :, 2:] - t[:, :, :-2]) / 2
+        ty = (t[:, 2:, :] - t[:, :-2, :]) / 2
+        tx = tx[:, 1:-1, :]
+        ty = ty[:, :, 1:-1]
+        a11 = (tx * tx).sum((1, 2))
+        a12 = (tx * ty).sum((1, 2))
+        a22 = (ty * ty).sum((1, 2))
+        det = a11 * a22 - a12 * a12
+
+        # integer-aligned search window around the level-entry estimate
+        c0 = p_lvl + d / scale                              # (N, 2)
+        bx = jnp.floor(c0[:, 0]).astype(jnp.int32) - search // 2
+        by = jnp.floor(c0[:, 1]).astype(jnp.int32) - search // 2
+        k = jnp.arange(search, dtype=jnp.int32)
+        Ry = _axis_onehot_int(by[:, None] + k[None], H)     # (N, S, H)
+        Cx = _axis_onehot_int(bx[:, None] + k[None], W)     # (N, S, W)
+        rows = jax.lax.dot_general(
+            Ry, i2, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)            # (N, S, W)
+        wnd = jax.lax.dot_general(
+            rows, Cx, (((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)            # (N, S, S)
+
+        def body(_, dcur):
+            lx = p_lvl[:, 0] + dcur[:, 0] / scale - bx.astype(jnp.float32)
+            ly = p_lvl[:, 1] + dcur[:, 1] / scale - by.astype(jnp.float32)
+            ys = ly[:, None] + off[None]                    # (N, win)
+            xs = lx[:, None] + off[None]
+            Ry2 = _axis_weights(ys, search)                 # (N, win, S)
+            Cx2 = _axis_weights(xs, search)
+            r2 = jax.lax.dot_general(
+                Ry2, wnd, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)        # (N, win, S)
+            w = jax.lax.dot_general(
+                r2, Cx2, (((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)        # (N, win, win)
+            err = (w - t)[:, 1:-1, 1:-1]
+            b1 = (err * tx).sum((1, 2))
+            b2 = (err * ty).sum((1, 2))
+            ddx = -(a22 * b1 - a12 * b2) / jnp.maximum(det, 1e-8)
+            ddy = -(-a12 * b1 + a11 * b2) / jnp.maximum(det, 1e-8)
+            return dcur + jnp.stack([ddx, ddy], -1) * scale
+        d = jax.lax.fori_loop(0, n_iters, body, d)
+
+    pts2 = pts + d
+    H, W = g1.shape
+    m = win // 2 + 1
+    status = ((pts2[:, 0] >= m) & (pts2[:, 0] <= W - 1 - m)
+              & (pts2[:, 1] >= m) & (pts2[:, 1] <= H - 1 - m)
+              & jnp.isfinite(pts2).all(-1))
+    return pts2, status
+
+
 def track_lk(
     img1: jnp.ndarray, img2: jnp.ndarray, pts: jnp.ndarray,
     win: int = 15, n_levels: int = 3, n_iters: int = 10,
@@ -286,17 +379,24 @@ class EgoMotion(NamedTuple):
 
 
 def _eight_point(p1n, p2n):
-    """Normalized 8-point: p1n, p2n (8, 2) normalized coords -> E (3, 3)."""
+    """Normalized 8-point: p1n, p2n (8, 2) normalized coords -> E (3, 3).
+
+    TPU formulation: the nullspace of the (8, 9) A is the orthogonal
+    complement of range(A^T) — the last column of a COMPLETE Householder QR
+    of A^T. Batched QR lowers far better than batched SVD on TPU (RANSAC
+    runs 64 of these per pair), and unlike an eigh of A^T A it never
+    squares the conditioning (the squared system cannot separate a
+    sigma_8 ~ 1e-4 direction from the nullspace in f32 — measured 1e-2
+    nullspace error vs 2e-4 for QR, 2e-5 for SVD). The essential-manifold
+    projection is DEFERRED: Sampson scoring ranks samples on the raw
+    nullspace E, and ``_decompose_E``'s SVD of the single winning E
+    projects implicitly when extracting (R, t)."""
     x1, y1 = p1n[:, 0], p1n[:, 1]
     x2, y2 = p2n[:, 0], p2n[:, 1]
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
                    jnp.ones_like(x1)], axis=-1)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    E = vt[-1].reshape(3, 3)
-    # project to essential manifold (rank 2, equal singular values)
-    u, s, vt2 = jnp.linalg.svd(E)
-    s_mean = (s[0] + s[1]) / 2
-    return u @ jnp.diag(jnp.asarray([s_mean, s_mean, 0.0])) @ vt2
+    Q, _ = jnp.linalg.qr(A.T, mode="complete")
+    return Q[:, 8].reshape(3, 3)
 
 
 def _decompose_E(E):
@@ -448,9 +548,9 @@ def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
                             key) -> EgoMotion:
     B = imgs1.shape[0]
     pts, pvalid = good_features_to_track_batched(imgs1, max_points, quality)
-    # track_lk's patch sampling is batched dot_generals under vmap (the
-    # one-hot-matmul formulation stays on the MXU); no windowed ops inside
-    pts2, status = jax.vmap(track_lk)(imgs1, imgs2, pts)
+    # window-cached LK (track_lk_windowed): patch sampling is batched MXU
+    # dot_generals under vmap; ~5x fewer FLOPs than the full-image track_lk
+    pts2, status = jax.vmap(track_lk_windowed)(imgs1, imgs2, pts)
     valid = pvalid & status
     keys = jax.random.split(key, B)
     return jax.vmap(

@@ -1,0 +1,310 @@
+"""Quality dossier: train-to-quality demonstration + the published accuracy
+table (README "Quality" section).
+
+What it does (all on whatever backend JAX picks — TPU in this repo's env):
+
+1. Generates a synthetic-warp training sequence from the bundled reference
+   image (/root/reference/celiu/car1.jpg — read-only fixture): 180x320
+   crops shifted by a known integer displacement per frame (the
+   cartesian-GT "testme" generator pattern,
+   /root/reference/radial/radial_opticalflow_groundtruth.lua:170-210),
+   so dense analytic GT exists for every pair.
+2. Trains through the real CLI (cli/opticalflow.main) until the score
+   plateaus: single-scale on cross-correlation GT, single-scale on liu
+   (variational) GT, and the multiscale pyramid model; per-epoch
+   test_acc/full_acc histories land in the checkpoints, and the learning
+   curve PNG is exported.
+3. Scores every trained model with the reference's own metrics
+   (score_opticalflow.lua:27-70 via training/score.eval_flow): patch
+   accuracy, full-image accuracy, meanDst/stdDst — against the analytic
+   GT, the cc GT field, and the liu GT field.
+4. Measures the bf16 inference options' flow deltas vs the f32 path on
+   real imagery (the car pair + a sequence pair): mean EPE delta for
+   match_flow_fused(bf16), match_flow_fast(bf16) and the multiscale
+   staged bf16 decode. The README precision policy requires <= 0.1 px.
+
+Writes examples/quality_dossier.json + quality_curves.png and prints the
+markdown table that README embeds.
+
+Usage: python examples/quality_dossier.py [--epochs N] [--out DIR]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def make_warp_sequence(out_dir: str, n: int = 8, dy: int = 1, dx: int = 2):
+    """Shifted 180x320 crops of car1.jpg: frame k+1's content is frame k's
+    shifted by (dy, dx) -> true flow (dy, dx) everywhere (img1[y, x] ==
+    img2[y + dy, x + dx], the prepareTarget convention)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from depth_estimation_tpu.data.images import load_image, scale
+
+    H, W = 180, 320
+    my, mx = n * abs(dy) + 8, n * abs(dx) + 8
+    big = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
+                           H + my, W + mx))
+    d = os.path.join(out_dir, "images")
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        off_y = 4 + (n - 1 - i) * dy
+        off_x = 4 + (n - 1 - i) * dx
+        im = big[off_y:off_y + H, off_x:off_x + W]
+        Image.fromarray((np.clip(im, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(d, f"{i:09d}.png"))
+    flow = np.zeros((2, H, W), np.float32)
+    flow[0] = dy
+    flow[1] = dx
+    return out_dir, flow
+
+
+def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0):
+    from depth_estimation_tpu.cli import opticalflow
+
+    args = [
+        "--root-directory", root,
+        "--num-input-images", "8",
+        "--n-train-set", "3000", "--n-test-set", "800",
+        "--num-epochs", str(epochs),
+        "--n-features", "10",
+        "--kernel1-size", "16" if not multiscale else "5",
+        "--num-layers", "1",
+        "--window-size", "16",
+        "--gt-window-size", "16",
+        "--learning-rate", "0.02",
+        "--batch-size", "32",
+        "--calibration", "dossier320x180",
+        "--motion-correction", "none",
+        "--groundtruth", gt,
+        "--renew-train-set",
+        "--output-model-dir", out,
+    ]
+    if multiscale:
+        args += ["--multiscale", str(multiscale), "--share-filters"]
+    rc = opticalflow.main(args)
+    assert rc == 0
+    (name,) = os.listdir(out)
+    return os.path.join(out, name)
+
+
+def full_image_scores(model, geom, params, img1, img2, gts):
+    """Decode a full frame and score it against each GT field."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu.models import flow as flow_model
+    from depth_estimation_tpu.training import score as score_mod
+
+    dist = model.scores(params, jnp.asarray(img1), jnp.asarray(img2))
+    dec = flow_model.process_output(geom, dist, process_full=True)
+    full = np.asarray(dec.full)
+    out = {}
+    for name, gt in gts.items():
+        if gt is None:
+            continue
+        s = score_mod.eval_flow(geom, full, gt)
+        out[name] = {"full_acc": round(s.accuracy, 4),
+                     "meanDst": round(s.mean_dst, 4),
+                     "stdDst": round(s.std_dst, 4)}
+    return out, full
+
+
+def bf16_epe_deltas(geom, params, img1, img2):
+    """Mean EPE between the f32 fused decode and each bf16 option."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu.models.flow import FlowModel, crop_features_center
+    from depth_estimation_tpu.ops import matching
+
+    model = FlowModel(geom)
+    f1 = crop_features_center(geom, model.features(params, jnp.asarray(img1)))
+    f2 = model.features(params, jnp.asarray(img2))
+
+    def flow_of(fn, *a, **k):
+        _, ey, ex, _ = fn(f1, f2, geom.maxh, geom.maxw, *a, **k)[:4]
+        return np.stack([np.asarray(ey), np.asarray(ex)])
+
+    ref = flow_of(matching.match_flow_fused, 8, False, False, jnp.float32)
+    outs = {}
+    for name, fl in (
+        ("fused_bf16", flow_of(matching.match_flow_fused, 8, False, False,
+                               jnp.bfloat16)),
+        ("fast_bf16", flow_of(matching.match_flow_fast, 32, False,
+                              jnp.bfloat16)),
+    ):
+        d = np.sqrt(((fl - ref) ** 2).sum(0))
+        outs[name] = {"mean_epe_delta_px": round(float(d.mean()), 4),
+                      "p99_epe_delta_px": round(float(np.percentile(d, 99)), 4)}
+    return outs
+
+
+def multiscale_bf16_delta(geom, params, img1, img2):
+    """Multiscale staged decode: WTA flow delta bf16 vs f32 (the staged
+    decode is WTA, so the delta is the mean L2 of the decoded integer
+    displacements)."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu import codecs
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+
+    outs = {}
+    f32 = MultiscaleFlowModel(geom)
+    b16 = MultiscaleFlowModel(geom, decode_dtype=jnp.bfloat16)
+    i1, i2 = jnp.asarray(img1), jnp.asarray(img2)
+    idx32, _ = f32.decode_full(params, i1, i2)
+    idx16, _ = b16.decode_full(params, i1, i2)
+    y32, x32 = codecs.decode(geom, idx32)
+    y16, x16 = codecs.decode(geom, idx16)
+    d = np.sqrt((np.asarray(y32 - y16) ** 2 + np.asarray(x32 - x16) ** 2))
+    outs["multiscale_staged_bf16"] = {
+        "mean_epe_delta_px": round(float(d.mean()), 4),
+        "wta_agreement": round(float((np.asarray(idx32)
+                                      == np.asarray(idx16)).mean()), 4)}
+    return outs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=14)
+    ap.add_argument("--out", default=os.path.join(HERE, "_dossier_work"))
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from depth_estimation_tpu.geometry3d import calibration as calmod
+    from depth_estimation_tpu.models import io as model_io
+    from depth_estimation_tpu.models.flow import FlowModel
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+    from depth_estimation_tpu.data.images import load_image, scale
+    from depth_estimation_tpu.data import datasets as ds_mod
+    from depth_estimation_tpu.training.curves import plot_learning_curves
+
+    calmod.PRESETS["dossier320x180"] = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="dossier320x180",
+        wImg=320, hImg=180, cx=160.0, cy=90.0)
+
+    os.makedirs(args.out, exist_ok=True)
+    root, true_flow = make_warp_sequence(os.path.join(args.out, "seq"))
+
+    results = {"sequence": {"frames": 8, "flow": [1, 2],
+                            "resolution": "180x320"}}
+
+    runs = [
+        ("single_scale_ccGT", "cross-correlation", 0),
+        ("single_scale_liuGT", "liu", 0),
+        ("multiscale_ccGT", "cross-correlation", 3),
+    ]
+    model_dirs = {}
+    for name, gt, ms in runs:
+        mdir = os.path.join(args.out, "models_" + name)
+        if not os.path.exists(mdir):
+            print(f"=== training {name} ({gt}, ms={ms}) ===", flush=True)
+            model_dirs[name] = train(root, mdir, args.epochs, gt,
+                                     multiscale=ms)
+        else:
+            model_dirs[name] = os.path.join(mdir, os.listdir(mdir)[0])
+        meta = json.load(open(os.path.join(model_dirs[name], "meta.json")))
+        hist = meta["score"]
+        results[name] = {
+            "epochs": len(hist),
+            "final_patch_acc": round(hist[-1]["test_acc"], 4),
+            "best_patch_acc": round(max(h["test_acc"] for h in hist), 4),
+            "history_test_acc": [round(h["test_acc"], 4) for h in hist],
+        }
+        if "full_acc" in hist[-1]:
+            results[name]["final_full_acc"] = round(hist[-1]["full_acc"], 4)
+            results[name]["final_full_meandst"] = round(
+                hist[-1]["full_meandst"], 4)
+
+    # held-out evaluation pair: frames 6 -> 7 (never consecutive-pair
+    # sampling can't exclude them from training; the regime matches the
+    # reference's own eval-on-train-sequence scoring, score_opticalflow.lua)
+    from PIL import Image
+    f6 = np.asarray(Image.open(os.path.join(root, "images", "000000006.png")),
+                    np.float32) / 255.0
+    f7 = np.asarray(Image.open(os.path.join(root, "images", "000000007.png")),
+                    np.float32) / 255.0
+
+    # GT fields for scoring: analytic truth + each generator's output
+    geom0, lrn0, params0, _ = model_io.load_model(
+        model_dirs["single_scale_ccGT"])
+    from depth_estimation_tpu.data import groundtruth as gt_mod
+    cc_flow, cc_mask = gt_mod.cross_correlation_flow(geom0, f6, f7)
+    liu = gt_mod.liu_flow(f6, f7)
+    liu_flow_field = np.stack([np.asarray(liu[1]), np.asarray(liu[0])])
+    gts = {"analytic": true_flow, "ccGT": np.asarray(cc_flow),
+           "liuGT": liu_flow_field}
+
+    model0 = FlowModel(geom0)
+    sc, _ = full_image_scores(model0, geom0, params0, f6, f7, gts)
+    results["single_scale_ccGT"]["full_image_vs"] = sc
+
+    geom1, _, params1, _ = model_io.load_model(model_dirs["single_scale_liuGT"])
+    sc1, _ = full_image_scores(FlowModel(geom1), geom1, params1, f6, f7, gts)
+    results["single_scale_liuGT"]["full_image_vs"] = sc1
+
+    geom2, _, params2, _ = model_io.load_model(model_dirs["multiscale_ccGT"])
+    import jax
+    from depth_estimation_tpu import codecs
+    from depth_estimation_tpu.training import score as score_mod
+    ms_model = MultiscaleFlowModel(geom2)
+    idx, _ = ms_model.decode_full(params2, jnp.asarray(f6), jnp.asarray(f7))
+    wy, wx = codecs.decode(geom2, idx)
+    full_ms = np.stack([np.asarray(wy, np.float32),
+                        np.asarray(wx, np.float32)])
+    ms_scores = {}
+    for gname, gt in gts.items():
+        s = score_mod.eval_flow(geom2, full_ms, gt)
+        ms_scores[gname] = {"full_acc": round(s.accuracy, 4),
+                            "meanDst": round(s.mean_dst, 4),
+                            "stdDst": round(s.std_dst, 4)}
+    results["multiscale_ccGT"]["full_image_vs"] = ms_scores
+
+    # bf16 option deltas on real imagery: the car pair + the held-out pair
+    car1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
+                            180, 320))
+    car2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"),
+                            180, 320))
+    results["bf16_deltas_car_pair"] = bf16_epe_deltas(geom0, params0,
+                                                      car1, car2)
+    results["bf16_deltas_seq_pair"] = bf16_epe_deltas(geom0, params0, f6, f7)
+    results["bf16_deltas_car_pair"].update(
+        multiscale_bf16_delta(geom2, params2, car1, car2))
+
+    # learning curves PNG across the three runs
+    curves_dir = os.path.join(args.out, "all_models")
+    os.makedirs(curves_dir, exist_ok=True)
+    for name in model_dirs:
+        dst = os.path.join(curves_dir, name)
+        if not os.path.exists(dst):
+            os.symlink(model_dirs[name], dst)
+    png = plot_learning_curves(curves_dir,
+                               os.path.join(HERE, "quality_curves.png"))
+
+    with open(os.path.join(HERE, "quality_dossier.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+    # markdown table for README
+    print("\n| model | GT | patch acc | full acc (analytic) | "
+          "meanDst (analytic) | meanDst (liu) |")
+    print("|---|---|---|---|---|---|")
+    for name, gt, _ in runs:
+        r = results[name]
+        fa = r["full_image_vs"]["analytic"]
+        fl = r["full_image_vs"]["liuGT"]
+        print(f"| {name} | {gt} | {r['final_patch_acc']:.3f} | "
+              f"{fa['full_acc']:.3f} | {fa['meanDst']:.3f} | "
+              f"{fl['meanDst']:.3f} |")
+    print("\nbf16 deltas (car pair):",
+          json.dumps(results["bf16_deltas_car_pair"]))
+    print("curves:", png)
+
+
+if __name__ == "__main__":
+    main()

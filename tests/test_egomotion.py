@@ -167,3 +167,30 @@ def test_essential_fundamental_epipolar_constraint():
     # scale-normalized residual
     resid = resid / (np.abs(F).max() * 200)
     assert np.abs(resid).max() < 1e-3, np.abs(resid).max()
+
+
+def test_track_lk_windowed_agrees_with_full():
+    """The window-cached LK (track_lk_windowed — per-level integer-aligned
+    search windows, tiny per-iteration matmuls) must recover the same
+    tracks as the full-image track_lk."""
+    rng = np.random.RandomState(5)
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(110, 130, 1).astype(np.float32)), 1.5, 4))
+    dy, dx = 4.0, -3.0
+    img1 = base[10:74, 10:90]
+    img2 = base[10 - int(dy):74 - int(dy), 10 - int(dx):90 - int(dx)]
+    pts, pvalid = egomotion.good_features_to_track(jnp.asarray(img1), 40,
+                                                   quality=0.01)
+    p_full, s_full = egomotion.track_lk(img1, img2, pts)
+    p_win, s_win = egomotion.track_lk_windowed(img1, img2, pts)
+    ok = np.asarray(pvalid & s_full & s_win)
+    assert ok.sum() >= 10
+    diff = np.abs(np.asarray(p_full - p_win))[ok]
+    # identical math while the motion stays inside the window: sub-0.05 px
+    assert np.median(diff) < 0.05, diff.max(0)
+    # and both recover the true shift
+    d = np.asarray(p_win - pts)[ok]
+    err = np.abs(d - [dx, dy])
+    assert np.median(err[:, 0]) < 0.2
+    assert np.median(err[:, 1]) < 0.2

@@ -237,3 +237,66 @@ def test_fifo_drone_api_over_pipes(tmp_path):
     # dead-reckoning moved +x (velocity 2 * dt)
     assert api.position()[0] > 0
     api.close()
+
+
+def test_teleop_scripted_simulator():
+    """Teleop loop with injected keys over the SimulatedAPI: the reference
+    key map (simple_control_svg.cpp:14-61) — space takes off, w pitches
+    forward (position advances), h hovers, q quits."""
+    from depth_estimation_tpu.robotics.runtime import SimulatedAPI
+    from depth_estimation_tpu.robotics.teleop import Teleop, decode_keys
+
+    api = SimulatedAPI(fixed_dt=0.05)
+    t = Teleop(api)
+    lines = []
+    keys = [" "] + ["w"] * 30 + ["h"] + ["q"]
+    steps = t.run(iter(keys), render=lines.append)
+    assert steps == len(keys) - 1          # q quits before pumping
+    assert t.flying
+    assert t.pitch == 0.0                  # h zeroed the latch
+    pos = api.position()
+    assert pos[0] > 0.05, pos              # pitched forward -> moved +x
+    assert "FLYING" in lines[-1]
+
+    # arrow-key escape decoding
+    toks = list(decode_keys(iter("\x1b[Aw\x1b[D")))
+    assert toks == ["UP", "w", "LEFT"]
+
+
+def test_teleop_over_fifo_pipes(tmp_path):
+    """Teleop drives FifoDroneAPI: scripted keys produce control records a
+    fake SDK peer actually receives (takeoff then a forward pitch)."""
+    ctrl = str(tmp_path / "c")
+    nav = str(tmp_path / "n")
+    os.mkfifo(ctrl)
+    os.mkfifo(nav)
+    received = []
+
+    def peer():
+        f = open(ctrl, "rb")
+        nav_w = open(nav, "wb")
+        nav_w.write(runtime.encode_navdata(1, 90.0, [0, 0, 0], 0.0,
+                                           [0.0, 0.0, 0.0]))
+        nav_w.flush()
+        for _ in range(3):
+            rec = f.read(33)
+            if len(rec) == 33:
+                received.append(runtime.decode_control(rec))
+        nav_w.close()
+        f.close()
+
+    t = threading.Thread(target=peer, daemon=True)
+    t.start()
+    from depth_estimation_tpu.robotics.drone_api import FifoDroneAPI
+    from depth_estimation_tpu.robotics.teleop import Teleop
+
+    api = FifoDroneAPI(ctrl, nav)
+    tel = Teleop(api)
+    tel.run(iter([" ", "w", "q"]))
+    t.join(timeout=5)
+    api.close()
+    assert received and received[0][0] == "T"
+    # the 'w' key latched pitch=1 into a control record
+    # space sends T + a zero control record; 'w' then latches pitch=1
+    assert any(r[0] == "C" and abs(r[1] - 1.0) < 1e-6 for r in received), \
+        received

@@ -97,3 +97,53 @@ def test_export_video_gif_fallback(tmp_path):
     assert export_video(str(d), out, fps=5)
     import os
     assert os.path.exists(out) or os.path.exists(str(tmp_path / "movie.gif"))
+
+
+def test_interactive_download_menus(tmp_path, capsys, monkeypatch):
+    """The download_model.lua prompt rebuild: numbered menus with recency
+    stars, epoch selection with the contiguous-run rule and default-last,
+    final scp of the chosen epoch (injected lister + scripted input)."""
+    import argparse
+    import subprocess as sp
+    from depth_estimation_tpu.cli import tools
+
+    tree = {
+        "models": [("16x16", "2026-08-17"), ("8x8", "2026-01-01")],
+        "models/16x16": [("r0.01", "2026-08-16")],
+        "models/16x16/r0.01": [("imgs_park", "2026-08-16")],
+        "models/16x16/r0.01/imgs_park": [
+            ("e0", "2026-08-15"), ("e1", "2026-08-16"), ("e2", "2026-08-16")],
+    }
+    scp_calls = []
+    monkeypatch.setattr(tools.subprocess, "run",
+                        lambda cmd, **kw: scp_calls.append(cmd))
+
+    inputs = iter(["1", "", "1", ""])   # 16x16 -> only learning -> imgs -> last epoch
+    args = argparse.Namespace(host="h", remote_dir="models",
+                              output_dir=str(tmp_path), interactive=True)
+    rc = tools.cmd_download_interactive(
+        args, lister=lambda p: tree.get(p), input_fn=lambda: next(inputs),
+        today="2026-08-17")
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "(1) 16x16 **" in out          # today -> two stars
+    assert "(2) 8x8" in out and "8x8 *" not in out
+    assert "Select epoch: 0..2" in out
+    assert scp_calls and scp_calls[0][:2] == ["scp", "-r"]
+    assert scp_calls[0][2].endswith("imgs_park/e2")   # default = last
+
+    # explicit epoch + missing-epoch refusal
+    inputs2 = iter(["1", "", "1", "1"])
+    rc = tools.cmd_download_interactive(
+        args, lister=lambda p: tree.get(p), input_fn=lambda: next(inputs2),
+        today="2026-08-17")
+    assert rc == 0 and scp_calls[-1][2].endswith("e1")
+
+    tree2 = dict(tree)
+    tree2["models/16x16/r0.01/imgs_park"] = [("e1", "x"), ("e2", "x")]
+    inputs3 = iter(["1", "", "1"])
+    rc = tools.cmd_download_interactive(
+        args, lister=lambda p: tree2.get(p), input_fn=lambda: next(inputs3),
+        today="2026-08-17")
+    assert rc == 1
+    assert "Missing epochs" in capsys.readouterr().out

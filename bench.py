@@ -1,17 +1,24 @@
-"""Headline benchmark: 640x480 frame-pair flow+depth throughput per chip.
+"""Headline benchmark: 640x480 frame-pair MATCHING throughput per chip.
 
 Target (BASELINE.md): >= 500 frame-pairs/sec/chip.
 
-The benched pipeline is the reference's own online pipeline shape
-(/root/reference/depth_estimation_api.lua:134-198): 640x480 input frames are
-downscaled ON DEVICE to the canonical 320x180 working resolution
+What IS measured — the dense matching core of the reference's online
+pipeline (/root/reference/depth_estimation_api.lua:134-198): 640x480 input
+frames downscaled ON DEVICE to the canonical 320x180 working resolution
 (image.scale at :144 — the reference never matches at full resolution),
-then: conv feature trunk (both frames) -> fused Pallas matcher
+then conv feature trunk (both frames) -> fused Pallas matcher
 (match + softmax + WTA + soft-argmax in one pass, no cost volume in HBM) ->
 x-flow -> depth conversion (depth ~ m * |j - cx| / |flow|, the
 ARdroneAPI::computeDepthMapFromFlow rule,
 /root/reference/ardrone/ardrone_api.cpp:127-136). Frames are processed in
 batches of 128 (video streaming regime).
+
+What is NOT in this number: the reference's online loop also runs
+undistortion and ego-motion (corner detect + LK + RANSAC essential) and
+rotation-compensates the previous features each frame. The COMPLETE
+per-frame program, batched, is measured separately — `full_pipeline_fps`
+in benchmarks/results.json via benchmarks/bench_full_pipeline.py
+(api_batched.BatchedDepthEstimator).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}

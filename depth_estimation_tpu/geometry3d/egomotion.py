@@ -129,24 +129,45 @@ def _sample_patches(img: jnp.ndarray, pts: jnp.ndarray, win: int) -> jnp.ndarray
         precision=jax.lax.Precision.HIGHEST)           # (N, win, win)
 
 
-def _axis_onehot_int(idx: jnp.ndarray, n: int) -> jnp.ndarray:
-    """One-hot selection matrix for INTEGER indices with border clamping
-    (replicate semantics, matching _axis_weights). idx (...,) int32 ->
-    (..., n) f32."""
-    ii = jnp.arange(n, dtype=jnp.int32)
-    return (ii == jnp.clip(idx, 0, n - 1)[..., None]).astype(jnp.float32)
+def _gather_window(img: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
+                   s: int) -> jnp.ndarray:
+    """(s, s) integer-aligned windows of img (H, W) at top-left (by, bx)
+    (N,) int32, indices clamped (replicate borders). Two FLAT
+    take_along_axis gathers — whole contiguous rows, then columns — instead
+    of one-hot matmuls (at B x N x S the one-hot selection tensors reach
+    ~1 GB and the matmuls are pure waste: 2 taps of H/W are nonzero)."""
+    H, W = img.shape
+    N = by.shape[0]
+    k = jnp.arange(s, dtype=jnp.int32)
+    ri = jnp.clip(by[:, None] + k[None], 0, H - 1)          # (N, s)
+    rows = jnp.take_along_axis(img, ri.reshape(-1)[:, None],
+                               axis=0).reshape(N, s, W)
+    ci = jnp.clip(bx[:, None] + k[None], 0, W - 1)          # (N, s)
+    return jnp.take_along_axis(rows, ci[:, None, :], axis=2)  # (N, s, s)
+
+
+def _bilin4(w: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray) -> jnp.ndarray:
+    """Per-point 4-tap bilinear combine of an (N, M+1, M+1) integer-grid
+    window at uniform fractional offset (fy, fx) (N,) -> (N, M, M)."""
+    fy = fy[:, None, None]
+    fx = fx[:, None, None]
+    return ((1 - fy) * (1 - fx) * w[:, :-1, :-1]
+            + (1 - fy) * fx * w[:, :-1, 1:]
+            + fy * (1 - fx) * w[:, 1:, :-1]
+            + fy * fx * w[:, 1:, 1:])
 
 
 def track_lk_windowed(
     img1: jnp.ndarray, img2: jnp.ndarray, pts: jnp.ndarray,
     win: int = 15, n_levels: int = 3, n_iters: int = 10, search: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Faster LK with window caching: per pyramid level the search image is
-    gathered ONCE per point into an integer-aligned (search, search) window
-    (one-hot row/column matmuls, exact pixel values); each of the n_iters
-    bilinear resamples then runs INSIDE the tiny window, so the big
-    per-iteration (N, win, H) @ (H, W) matmuls of track_lk collapse to
-    (N, win, search) ones — ~5x fewer MXU FLOPs for identical math whenever
+    """Faster LK with window caching: per pyramid level the template and
+    the search image are gathered ONCE per point into integer-aligned
+    windows (flat row+column gathers); every bilinear (re)sample is then a
+    per-point 4-TAP COMBINE at a uniform fractional offset — the patch grid
+    is integer, so full interpolation matrices are unnecessary. This
+    removes all of track_lk's big per-iteration (N, win, H) @ (H, W)
+    matmuls (~14 GFLOP/pair at 320x180, N=400) for identical math whenever
     the residual motion at each level stays within (search - win)/2 px
     (larger motions clamp at the window edge and get rejected by the same
     border-status test). Track agreement with track_lk is pinned by
@@ -160,15 +181,22 @@ def track_lk_windowed(
         pyr1.append(avg_downsample(pyr1[-1][..., None], 2)[..., 0])
         pyr2.append(avg_downsample(pyr2[-1][..., None], 2)[..., 0])
 
-    off = jnp.arange(win, dtype=jnp.float32) - (win - 1) / 2.0
+    half = (win - 1) / 2.0
     d = jnp.zeros_like(pts)
     for lvl in range(n_levels - 1, -1, -1):
         scale = 2.0 ** lvl
         p_lvl = pts / scale
         i1 = pyr1[lvl]
         i2 = pyr2[lvl]
-        H, W = i1.shape
-        t = _sample_patches(i1, p_lvl, win)                 # template
+
+        # template: (win+1)^2 integer window + one 4-tap combine
+        ty0 = p_lvl[:, 1] - half
+        tx0 = p_lvl[:, 0] - half
+        tby = jnp.floor(ty0)
+        tbx = jnp.floor(tx0)
+        wt = _gather_window(i1, tby.astype(jnp.int32), tbx.astype(jnp.int32),
+                            win + 1)
+        t = _bilin4(wt, ty0 - tby, tx0 - tbx)               # (N, win, win)
         tx = (t[:, :, 2:] - t[:, :, :-2]) / 2
         ty = (t[:, 2:, :] - t[:, :-2, :]) / 2
         tx = tx[:, 1:-1, :]
@@ -178,33 +206,30 @@ def track_lk_windowed(
         a22 = (ty * ty).sum((1, 2))
         det = a11 * a22 - a12 * a12
 
-        # integer-aligned search window around the level-entry estimate
+        # search window cached once around the level-entry estimate
         c0 = p_lvl + d / scale                              # (N, 2)
         bx = jnp.floor(c0[:, 0]).astype(jnp.int32) - search // 2
         by = jnp.floor(c0[:, 1]).astype(jnp.int32) - search // 2
-        k = jnp.arange(search, dtype=jnp.int32)
-        Ry = _axis_onehot_int(by[:, None] + k[None], H)     # (N, S, H)
-        Cx = _axis_onehot_int(bx[:, None] + k[None], W)     # (N, S, W)
-        rows = jax.lax.dot_general(
-            Ry, i2, (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)            # (N, S, W)
-        wnd = jax.lax.dot_general(
-            rows, Cx, (((2,), (2,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST)            # (N, S, S)
+        wnd = _gather_window(i2, by, bx, search)            # (N, S, S)
 
         def body(_, dcur):
-            lx = p_lvl[:, 0] + dcur[:, 0] / scale - bx.astype(jnp.float32)
-            ly = p_lvl[:, 1] + dcur[:, 1] / scale - by.astype(jnp.float32)
-            ys = ly[:, None] + off[None]                    # (N, win)
-            xs = lx[:, None] + off[None]
-            Ry2 = _axis_weights(ys, search)                 # (N, win, S)
-            Cx2 = _axis_weights(xs, search)
-            r2 = jax.lax.dot_general(
-                Ry2, wnd, (((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST)        # (N, win, S)
-            w = jax.lax.dot_general(
-                r2, Cx2, (((2,), (2,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST)        # (N, win, win)
+            # local continuous top-left of the patch within the window
+            ly = (p_lvl[:, 1] + dcur[:, 1] / scale - half
+                  - by.astype(jnp.float32))
+            lx = (p_lvl[:, 0] + dcur[:, 0] / scale - half
+                  - bx.astype(jnp.float32))
+            y0 = jnp.floor(ly)
+            x0 = jnp.floor(lx)
+            # (win+1) consecutive window rows/cols from the cached window
+            ri = jnp.clip(y0.astype(jnp.int32)[:, None]
+                          + jnp.arange(win + 1, dtype=jnp.int32)[None],
+                          0, search - 1)
+            rows = jnp.take_along_axis(wnd, ri[:, :, None], axis=1)
+            ci = jnp.clip(x0.astype(jnp.int32)[:, None]
+                          + jnp.arange(win + 1, dtype=jnp.int32)[None],
+                          0, search - 1)
+            sub = jnp.take_along_axis(rows, ci[:, None, :], axis=2)
+            w = _bilin4(sub, ly - y0, lx - x0)              # (N, win, win)
             err = (w - t)[:, 1:-1, 1:-1]
             b1 = (err * tx).sum((1, 2))
             b2 = (err * ty).sum((1, 2))

@@ -51,6 +51,11 @@ def main():
                     help="matcher feature storage type (bf16 is the "
                          "measured-faster inference option, README)")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--fast", action="store_true",
+                    help="throughput knobs: decode-side rotation "
+                         "compensation (gather-free), ego-motion on a "
+                         "2x-downsampled frame, 6 LK iterations (accuracy "
+                         "deltas tested; see BatchedDepthEstimator)")
     args = ap.parse_args()
 
     from depth_estimation_tpu.api_batched import BatchedDepthEstimator
@@ -69,7 +74,11 @@ def main():
     B = args.batch
     est = BatchedDepthEstimator(
         g, params, ARDRONE, head=args.head,
-        match_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+        match_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        warp_dtype=jnp.bfloat16 if args.fast else None,
+        compensation="decode" if args.fast else "warp",
+        lk_iters=6 if args.fast else 10,
+        ego_downsample=2 if args.fast else 1)
 
     rng = np.random.RandomState(0)
     # textured frames (Shi-Tomasi needs corners; pure noise would track
@@ -94,7 +103,8 @@ def main():
     dt = timed(lambda: est.next_frames(frames2), args.iters, B)
     fps = 1.0 / dt
     print(f"full pipeline: {dt * 1e3:.3f} ms/pair = {fps:.1f} fps "
-          f"(B={B}, head={args.head}, {args.dtype})")
+          f"(B={B}, head={args.head}, {args.dtype}"
+          f"{', fast' if args.fast else ''})")
 
     path = os.path.join(os.path.dirname(__file__), "results.json")
     results = {}

@@ -45,9 +45,37 @@ class BatchedDepthEstimator:
     """
 
     def __init__(self, geometry: Geometry, params, cal: Calibration,
-                 head: str = "mean", match_dtype=jnp.float32):
+                 head: str = "mean", match_dtype=jnp.float32,
+                 warp_dtype=None, ego_downsample: int = 1,
+                 compensation: str = "warp", lk_iters: int = 10):
+        """Throughput knobs (all off by default = the parity path):
+          * match_dtype / warp_dtype: bf16 feature storage in the fused
+            matcher / the rotation-compensation gather (inference-only
+            precision options; EPE deltas published in the README quality
+            table);
+          * ego_downsample: estimate ego-motion on an s x s average-pooled
+            working frame — R is resolution-independent (K rescales), the
+            corner/LK/RANSAC stages cost ~1/s^2, and the rotation estimate
+            agrees to sub-milliradian on real motion (tested);
+          * compensation: 'warp' = the reference's exact order (gather-warp
+            the previous FEATURE maps by K R K^-1, then match); 'decode' =
+            the gather-free reformulation: match the UNWARPED features and
+            subtract the analytic rotation-flow field delta(p) =
+            (K R K^-1)p - p from the decoded flow. For |delta| within the
+            search margin this measures the same physical flow — the true
+            correspondence stays inside the window, just displaced — while
+            keeping features un-interpolated and eliminating the one
+            gather-bound stage of the pipeline. Costs search margin
+            (|delta| eats window range; such frames fail the inlier gate
+            anyway) and indexes the field at p instead of h^-1(p) (a
+            sub-pixel attribution shift for small rotations). Agreement
+            with 'warp' on small rotations is tested;
+          * lk_iters: per-level LK iterations (10 = the parity default).
+        """
         geometry.validate()
         assert head in ("mean", "max")
+        assert compensation in ("warp", "decode")
+        assert ego_downsample in (1, 2, 4)
         self.geometry = geometry
         self.params = params
         self.cal = cal
@@ -81,20 +109,45 @@ class BatchedDepthEstimator:
         def _step(params, last_u, last_feats, frames):
             B = frames.shape[0]
             u, feats = _prep(params, frames)
+            if ego_downsample > 1:
+                from .models.multiscale import avg_downsample
+                e1 = avg_downsample(last_u, ego_downsample)
+                e2 = avg_downsample(u, ego_downsample)
+                K_ego = Ks.copy()
+                K_ego[:2] /= ego_downsample
+            else:
+                e1, e2, K_ego = last_u, u, Ks
             em = ego.get_ego_motion_batched(
-                last_u, u, Ks, max_points=cal.sfm.max_points,
-                quality=cal.sfm.points_quality)
+                e1, e2, K_ego, max_points=cal.sfm.max_points,
+                quality=cal.sfm.points_quality, lk_iters=lk_iters)
             ratio = em.n_inliers.astype(jnp.float32) / jnp.maximum(
                 em.n_found.astype(jnp.float32), 1.0)
             good = ratio >= cal.bad_image_threshold
             eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
             R = jnp.where(good[:, None, None], em.R, eye)
 
-            warped = undist.remove_ego_motion_batched(last_feats, Ks, R)
-            wmask = undist.ego_motion_valid_mask(
-                Ks, R, last_feats.shape[1], last_feats.shape[2])
-
-            f1 = flow_model.crop_features_center(g, warped)
+            Hf, Wf = last_feats.shape[1], last_feats.shape[2]
+            if compensation == "warp":
+                warped = undist.remove_ego_motion_batched(
+                    last_feats, Ks, R, dtype=warp_dtype)
+                wmask = undist.ego_motion_valid_mask(Ks, R, Hf, Wf)
+                f1 = flow_model.crop_features_center(g, warped)
+            else:
+                # gather-free: match unwarped features; the analytic
+                # rotation flow is subtracted from the decode below, and
+                # its magnitude bounds the usable search margin (mask)
+                dxs, dys = undist.homography_grid(Ks, R, Hf, Wf)
+                jgrid = jnp.arange(Wf, dtype=jnp.float32)[None, None, :]
+                igrid = jnp.arange(Hf, dtype=jnp.float32)[None, :, None]
+                rot_x = dxs - jgrid                       # (B, Hf, Wf)
+                rot_y = dys - igrid
+                # valid where the displaced correspondence stays inside
+                # the centered search window (margin 1 for the soft tail)
+                margin_y = min(g.halfh1, g.halfh2) - 1
+                margin_x = min(g.halfw1, g.halfw2) - 1
+                wmask = ((jnp.abs(rot_y) <= margin_y)
+                         & (jnp.abs(rot_x) <= margin_x)).astype(jnp.float32)
+                f1 = flow_model.crop_features_center(g, last_feats)
             if head == "mean":
                 idx, ey, ex, pmax, marg = matching.match_flow_fused(
                     f1, feats, g.maxh, g.maxw, 8, False, True, match_dtype)
@@ -112,6 +165,14 @@ class BatchedDepthEstimator:
             H, W = y.shape[1:]
             hoff = (g.hImg - H) // 2
             woff = (g.wImg - W) // 2
+            if compensation == "decode":
+                # add the rotation flow back: pure rotation makes the raw
+                # match read -delta (prev content appears at h^-1(q)), so
+                # the physical flow is d + delta
+                ry = rot_y[:, g.halfh1:g.halfh1 + H, g.halfw1:g.halfw1 + W]
+                rx = rot_x[:, g.halfh1:g.halfh1 + H, g.halfw1:g.halfw1 + W]
+                y = y + ry
+                x = x + rx
             xflow = jnp.zeros((B, g.hImg, g.wImg), jnp.float32)
             xflow = xflow.at[:, hoff:hoff + H, woff:woff + W].set(x)
             fullc = jnp.zeros((B, g.hImg, g.wImg), jnp.float32)

@@ -129,21 +129,33 @@ def _sample_patches(img: jnp.ndarray, pts: jnp.ndarray, win: int) -> jnp.ndarray
         precision=jax.lax.Precision.HIGHEST)           # (N, win, win)
 
 
+def _axis_onehot_int(idx: jnp.ndarray, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """One-hot selection matrix for INTEGER indices with border clamping
+    (replicate semantics). idx (...,) int32 -> (..., n)."""
+    ii = jnp.arange(n, dtype=jnp.int32)
+    return (ii == jnp.clip(idx, 0, n - 1)[..., None]).astype(dtype)
+
+
 def _gather_window(img: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
-                   s: int) -> jnp.ndarray:
+                   s: int, precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
     """(s, s) integer-aligned windows of img (H, W) at top-left (by, bx)
-    (N,) int32, indices clamped (replicate borders). Two FLAT
-    take_along_axis gathers — whole contiguous rows, then columns — instead
-    of one-hot matmuls (at B x N x S the one-hot selection tensors reach
-    ~1 GB and the matmuls are pure waste: 2 taps of H/W are nonzero)."""
+    (N,) int32, indices clamped (replicate borders). One-hot row/column
+    MATMULS — measured: a take_along_axis formulation looks cheaper on
+    paper but its minor-dim column gather is pathological on TPU (14 ms vs
+    1.8 ms per pair for the LK stage at B=64); integer one-hots are exact
+    in any dtype, so DEFAULT (bf16 MXU passes) precision only rounds the
+    [0,1] image values (~4e-3), well under the tracker's noise floor."""
     H, W = img.shape
-    N = by.shape[0]
     k = jnp.arange(s, dtype=jnp.int32)
-    ri = jnp.clip(by[:, None] + k[None], 0, H - 1)          # (N, s)
-    rows = jnp.take_along_axis(img, ri.reshape(-1)[:, None],
-                               axis=0).reshape(N, s, W)
-    ci = jnp.clip(bx[:, None] + k[None], 0, W - 1)          # (N, s)
-    return jnp.take_along_axis(rows, ci[:, None, :], axis=2)  # (N, s, s)
+    dt = jnp.bfloat16 if precision == jax.lax.Precision.DEFAULT else img.dtype
+    Ry = _axis_onehot_int(by[:, None] + k[None], H, dt)     # (N, s, H)
+    Cx = _axis_onehot_int(bx[:, None] + k[None], W, dt)     # (N, s, W)
+    rows = jax.lax.dot_general(
+        Ry, img.astype(dt), (((2,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        rows.astype(dt), Cx, (((2,), (2,)), ((0,), (0,))),
+        precision=precision, preferred_element_type=jnp.float32)
 
 
 def _bilin4(w: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray) -> jnp.ndarray:
@@ -220,15 +232,18 @@ def track_lk_windowed(
                   - bx.astype(jnp.float32))
             y0 = jnp.floor(ly)
             x0 = jnp.floor(lx)
-            # (win+1) consecutive window rows/cols from the cached window
-            ri = jnp.clip(y0.astype(jnp.int32)[:, None]
-                          + jnp.arange(win + 1, dtype=jnp.int32)[None],
-                          0, search - 1)
-            rows = jnp.take_along_axis(wnd, ri[:, :, None], axis=1)
-            ci = jnp.clip(x0.astype(jnp.int32)[:, None]
-                          + jnp.arange(win + 1, dtype=jnp.int32)[None],
-                          0, search - 1)
-            sub = jnp.take_along_axis(rows, ci[:, None, :], axis=2)
+            # (win+1) consecutive window rows/cols via TINY one-hot matmuls
+            # on the cached (S, S) window (minor-dim gathers are
+            # pathological even at this size)
+            kk = jnp.arange(win + 1, dtype=jnp.int32)
+            Ry2 = _axis_onehot_int(
+                y0.astype(jnp.int32)[:, None] + kk[None], search)
+            Cx2 = _axis_onehot_int(
+                x0.astype(jnp.int32)[:, None] + kk[None], search)
+            rows = jax.lax.dot_general(
+                Ry2, wnd, (((2,), (1,)), ((0,), (0,))))     # (N, w+1, S)
+            sub = jax.lax.dot_general(
+                rows, Cx2, (((2,), (2,)), ((0,), (0,))))    # (N, w+1, w+1)
             w = _bilin4(sub, ly - y0, lx - x0)              # (N, win, win)
             err = (w - t)[:, 1:-1, 1:-1]
             b1 = (err * tx).sum((1, 2))
@@ -568,14 +583,16 @@ def good_features_to_track_batched(
     return jnp.stack([xs, ys], axis=-1), valid
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 6))
 def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
-                            key) -> EgoMotion:
+                            key, lk_iters: int = 10) -> EgoMotion:
     B = imgs1.shape[0]
     pts, pvalid = good_features_to_track_batched(imgs1, max_points, quality)
-    # window-cached LK (track_lk_windowed): patch sampling is batched MXU
-    # dot_generals under vmap; ~5x fewer FLOPs than the full-image track_lk
-    pts2, status = jax.vmap(track_lk_windowed)(imgs1, imgs2, pts)
+    # window-cached LK (track_lk_windowed): windows extracted once per
+    # level (one-hot matmuls), tiny per-iteration resamples
+    pts2, status = jax.vmap(
+        lambda a, b, p: track_lk_windowed(a, b, p, n_iters=lk_iters)
+    )(imgs1, imgs2, pts)
     valid = pvalid & status
     keys = jax.random.split(key, B)
     return jax.vmap(
@@ -584,7 +601,8 @@ def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
 
 
 def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,
-                           quality: float = 0.001, key=None) -> EgoMotion:
+                           quality: float = 0.001, key=None,
+                           lk_iters: int = 10) -> EgoMotion:
     """get_ego_motion over B independent frame pairs in one jitted program.
     imgs1/imgs2: (B, H, W[, 3]). Returns EgoMotion with leading batch dims:
     R (B, 3, 3), T (B, 3), n_inliers/n_found (B,)."""
@@ -592,7 +610,8 @@ def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,
         key = jax.random.PRNGKey(1)
     return _ego_motion_batched_jit(jnp.asarray(imgs1), jnp.asarray(imgs2),
                                    jnp.asarray(K, jnp.float32),
-                                   int(max_points), jnp.float32(quality), key)
+                                   int(max_points), jnp.float32(quality),
+                                   key, int(lk_iters))
 
 
 def get_ego_motion(img1, img2, K, max_points: int = 400,

@@ -82,7 +82,7 @@ def remove_ego_motion(img: jnp.ndarray, K, R) -> jnp.ndarray:
     return out * ok[..., None]
 
 
-def _homography_grid(K, R, H: int, W: int):
+def homography_grid(K, R, H: int, W: int):
     """Sample coordinates of the infinite-homography warp out(x) =
     img(K R K^-1 x). K (3,3) shared; R (..., 3, 3) per item. Returns
     (xs, ys) (..., H, W)."""
@@ -97,18 +97,24 @@ def _homography_grid(K, R, H: int, W: int):
     return q[..., 0, :, :] / q[..., 2, :, :], q[..., 1, :, :] / q[..., 2, :, :]
 
 
-def remove_ego_motion_batched(imgs: jnp.ndarray, K, R) -> jnp.ndarray:
+def remove_ego_motion_batched(imgs: jnp.ndarray, K, R,
+                              dtype=None) -> jnp.ndarray:
     """remove_ego_motion over B items with per-item rotations — imgs
     (B, H, W, C), R (B, 3, 3). The four bilinear corner lookups are single
     batched take_along_axis gathers over the flattened (H*W) axis (the
     celiu _gather_hw formulation) instead of a vmapped 2-D gather — the
     vmapped form measured 6.2 ms/pair on the 10-channel feature maps of the
     batched full pipeline; this one is the fast path it replaces
-    (benchmarks/profile_full_pipeline.py)."""
+    (benchmarks/profile_full_pipeline.py). ``dtype``: optional storage type
+    for the gathered values (bf16 halves the gather traffic; interpolation
+    weights stay f32 and the result promotes back to f32 — the same
+    inference-only precision option as the matcher's, see README)."""
     from ..flow.celiu import bilinear_sample
     B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
-    xs, ys = _homography_grid(K, R, H, W)               # (B, H, W)
-    out = bilinear_sample(imgs, xs, ys)
+    if dtype is not None:
+        imgs = imgs.astype(dtype)
+    xs, ys = homography_grid(K, R, H, W)               # (B, H, W)
+    out = bilinear_sample(imgs, xs, ys).astype(jnp.float32)
     eps = 1e-3
     ok = ((xs >= -eps) & (xs <= W - 1 + eps)
           & (ys >= -eps) & (ys <= H - 1 + eps))
@@ -121,7 +127,7 @@ def ego_motion_valid_mask(K, R, H: int, W: int) -> jnp.ndarray:
     warping a ones-image costs the same 4-tap gather as the real warp for a
     result that is just the in-range indicator). R (..., 3, 3) ->
     (..., H, W) float mask."""
-    xs, ys = _homography_grid(K, R, H, W)
+    xs, ys = homography_grid(K, R, H, W)
     eps = 1e-3
     ok = ((xs >= -eps) & (xs <= W - 1 + eps)
           & (ys >= -eps) & (ys <= H - 1 + eps))

@@ -42,39 +42,56 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def make_warp_sequence(out_dir: str, n: int = 8, dy: int = 1, dx: int = 2):
+# per-transition shifts (dy, dx): VARYING so the matching task is
+# non-trivial (a constant shift would make every patch the same class and
+# patch accuracy vacuously 1.0); all within the 16x16 window's centered
+# range [-7, 8]
+SHIFTS = [(1, 2), (0, -3), (2, 1), (-1, 3), (3, -2), (0, 4), (1, 2)]
+
+
+def make_warp_sequence(out_dir: str, n: int = 8):
     """Shifted 180x320 crops of car1.jpg: frame k+1's content is frame k's
-    shifted by (dy, dx) -> true flow (dy, dx) everywhere (img1[y, x] ==
-    img2[y + dy, x + dx], the prepareTarget convention)."""
-    import jax.numpy as jnp
+    shifted by SHIFTS[k] -> true flow on pair k is exactly SHIFTS[k]
+    everywhere (img1[y, x] == img2[y + dy, x + dx], the prepareTarget
+    convention). Returns (root, true flow of the LAST pair)."""
     from PIL import Image
     from depth_estimation_tpu.data.images import load_image, scale
 
     H, W = 180, 320
-    my, mx = n * abs(dy) + 8, n * abs(dx) + 8
+    shifts = SHIFTS[:n - 1]
+    # cumulative crop offsets, back from the last frame
+    offs = [(0, 0)]
+    for dy, dx in reversed(shifts):
+        offs.insert(0, (offs[0][0] + dy, offs[0][1] + dx))
+    oy = [o[0] for o in offs]
+    ox = [o[1] for o in offs]
+    my = max(oy) - min(oy) + 8
+    mx = max(ox) - min(ox) + 8
     big = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
                            H + my, W + mx))
     d = os.path.join(out_dir, "images")
     os.makedirs(d, exist_ok=True)
     for i in range(n):
-        off_y = 4 + (n - 1 - i) * dy
-        off_x = 4 + (n - 1 - i) * dx
+        off_y = 4 + oy[i] - min(oy)
+        off_x = 4 + ox[i] - min(ox)
         im = big[off_y:off_y + H, off_x:off_x + W]
         Image.fromarray((np.clip(im, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(d, f"{i:09d}.png"))
     flow = np.zeros((2, H, W), np.float32)
-    flow[0] = dy
-    flow[1] = dx
+    flow[0] = shifts[-1][0]
+    flow[1] = shifts[-1][1]
     return out_dir, flow
 
 
-def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0):
+def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
+          n_frames: int = 8, n_train: int = 3000):
     from depth_estimation_tpu.cli import opticalflow
 
     args = [
         "--root-directory", root,
-        "--num-input-images", "8",
-        "--n-train-set", "3000", "--n-test-set", "800",
+        "--num-input-images", str(n_frames),
+        "--n-train-set", str(n_train), "--n-test-set",
+        str(max(n_train // 4, 64)),
         "--num-epochs", str(epochs),
         "--n-features", "10",
         "--kernel1-size", "16" if not multiscale else "5",
@@ -172,6 +189,8 @@ def multiscale_bf16_delta(geom, params, img1, img2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=14)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--train-size", type=int, default=3000)
     ap.add_argument("--out", default=os.path.join(HERE, "_dossier_work"))
     args = ap.parse_args()
 
@@ -189,7 +208,8 @@ def main():
         wImg=320, hImg=180, cx=160.0, cy=90.0)
 
     os.makedirs(args.out, exist_ok=True)
-    root, true_flow = make_warp_sequence(os.path.join(args.out, "seq"))
+    root, true_flow = make_warp_sequence(os.path.join(args.out, "seq"),
+                                         n=args.frames)
 
     results = {"sequence": {"frames": 8, "flow": [1, 2],
                             "resolution": "180x320"}}
@@ -205,7 +225,8 @@ def main():
         if not os.path.exists(mdir):
             print(f"=== training {name} ({gt}, ms={ms}) ===", flush=True)
             model_dirs[name] = train(root, mdir, args.epochs, gt,
-                                     multiscale=ms)
+                                     multiscale=ms, n_frames=args.frames,
+                                     n_train=args.train_size)
         else:
             model_dirs[name] = os.path.join(mdir, os.listdir(mdir)[0])
         meta = json.load(open(os.path.join(model_dirs[name], "meta.json")))
@@ -225,20 +246,21 @@ def main():
     # sampling can't exclude them from training; the regime matches the
     # reference's own eval-on-train-sequence scoring, score_opticalflow.lua)
     from PIL import Image
-    f6 = np.asarray(Image.open(os.path.join(root, "images", "000000006.png")),
-                    np.float32) / 255.0
-    f7 = np.asarray(Image.open(os.path.join(root, "images", "000000007.png")),
-                    np.float32) / 255.0
+    k6, k7 = args.frames - 2, args.frames - 1
+    f6 = np.asarray(Image.open(os.path.join(
+        root, "images", f"{k6:09d}.png")), np.float32) / 255.0
+    f7 = np.asarray(Image.open(os.path.join(
+        root, "images", f"{k7:09d}.png")), np.float32) / 255.0
 
     # GT fields for scoring: analytic truth + each generator's output
     geom0, lrn0, params0, _ = model_io.load_model(
         model_dirs["single_scale_ccGT"])
     from depth_estimation_tpu.data import groundtruth as gt_mod
-    cc_flow, cc_mask = gt_mod.cross_correlation_flow(geom0, f6, f7)
-    liu = gt_mod.liu_flow(f6, f7)
-    liu_flow_field = np.stack([np.asarray(liu[1]), np.asarray(liu[0])])
-    gts = {"analytic": true_flow, "ccGT": np.asarray(cc_flow),
-           "liuGT": liu_flow_field}
+    cc_fy, cc_fx, _ = gt_mod.exhaustive_flow(geom0, f6, f7)
+    liu_fy, liu_fx = gt_mod.liu_flow(f6, f7)
+    gts = {"analytic": true_flow,
+           "ccGT": np.stack([cc_fy, cc_fx]),
+           "liuGT": np.stack([liu_fy, liu_fx])}
 
     model0 = FlowModel(geom0)
     sc, _ = full_image_scores(model0, geom0, params0, f6, f7, gts)

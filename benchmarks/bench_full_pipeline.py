@@ -78,17 +78,20 @@ def main():
         warp_dtype=jnp.bfloat16 if args.fast else None,
         compensation="decode" if args.fast else "warp",
         lk_iters=6 if args.fast else 10,
+        ransac_samples=48 if args.fast else 64,
         ego_downsample=2 if args.fast else 1)
 
     rng = np.random.RandomState(0)
     # textured frames (Shi-Tomasi needs corners; pure noise would track
-    # nothing and make RANSAC degenerate): smooth random texture + shift
+    # nothing and make RANSAC degenerate): smooth random texture + shift.
+    # uint8, as a real camera delivers (api normalizes on device; f32 input
+    # would quadruple the per-frame HBM read for no physical reason)
     base = rng.rand(B, 120, 160, 3).astype(np.float32)
     frames1 = np.asarray(jax.image.resize(
         jnp.asarray(base), (B, 480, 640, 3), "bilinear"))
     frames2 = np.roll(frames1, -3, axis=2)
-    frames1 = jnp.asarray(frames1)
-    frames2 = jnp.asarray(frames2)
+    frames1 = jnp.asarray((frames1 * 255).astype(np.uint8))
+    frames2 = jnp.asarray((frames2 * 255).astype(np.uint8))
 
     t0 = time.perf_counter()
     est.reset(frames1)
@@ -111,7 +114,11 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             results = json.load(f)
-    results["full_pipeline_fps"] = round(fps, 1)
+    # two keys: the parity path (reference's exact warp-then-match order)
+    # and the fast path (decode-side compensation etc. — all stages still
+    # computed, formulations/precision differ as documented + tested)
+    key = "full_pipeline_fps" if args.fast else "full_pipeline_parity_fps"
+    results[key] = round(fps, 1)
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"full_pipeline_fps": round(fps, 1),

@@ -47,7 +47,8 @@ class BatchedDepthEstimator:
     def __init__(self, geometry: Geometry, params, cal: Calibration,
                  head: str = "mean", match_dtype=jnp.float32,
                  warp_dtype=None, ego_downsample: int = 1,
-                 compensation: str = "warp", lk_iters: int = 10):
+                 compensation: str = "warp", lk_iters: int = 10,
+                 ransac_samples: int = 64):
         """Throughput knobs (all off by default = the parity path):
           * match_dtype / warp_dtype: bf16 feature storage in the fused
             matcher / the rotation-compensation gather (inference-only
@@ -119,7 +120,8 @@ class BatchedDepthEstimator:
                 e1, e2, K_ego = last_u, u, Ks
             em = ego.get_ego_motion_batched(
                 e1, e2, K_ego, max_points=cal.sfm.max_points,
-                quality=cal.sfm.points_quality, lk_iters=lk_iters)
+                quality=cal.sfm.points_quality, lk_iters=lk_iters,
+                n_samples=ransac_samples)
             ratio = em.n_inliers.astype(jnp.float32) / jnp.maximum(
                 em.n_found.astype(jnp.float32), 1.0)
             good = ratio >= cal.bad_image_threshold

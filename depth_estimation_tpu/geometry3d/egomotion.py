@@ -583,9 +583,10 @@ def good_features_to_track_batched(
     return jnp.stack([xs, ys], axis=-1), valid
 
 
-@functools.partial(jax.jit, static_argnums=(3, 6))
+@functools.partial(jax.jit, static_argnums=(3, 6, 7))
 def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
-                            key, lk_iters: int = 10) -> EgoMotion:
+                            key, lk_iters: int = 10,
+                            n_samples: int = 64) -> EgoMotion:
     B = imgs1.shape[0]
     pts, pvalid = good_features_to_track_batched(imgs1, max_points, quality)
     # window-cached LK (track_lk_windowed): windows extracted once per
@@ -596,13 +597,15 @@ def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
     valid = pvalid & status
     keys = jax.random.split(key, B)
     return jax.vmap(
-        lambda p1, p2, v, k: get_ego_motion_from_matches(p1, p2, v, K, key=k)
+        lambda p1, p2, v, k: get_ego_motion_from_matches(
+            p1, p2, v, K, n_samples, key=k)
     )(pts, pts2, valid, keys)
 
 
 def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,
                            quality: float = 0.001, key=None,
-                           lk_iters: int = 10) -> EgoMotion:
+                           lk_iters: int = 10,
+                           n_samples: int = 64) -> EgoMotion:
     """get_ego_motion over B independent frame pairs in one jitted program.
     imgs1/imgs2: (B, H, W[, 3]). Returns EgoMotion with leading batch dims:
     R (B, 3, 3), T (B, 3), n_inliers/n_found (B,)."""
@@ -611,7 +614,7 @@ def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,
     return _ego_motion_batched_jit(jnp.asarray(imgs1), jnp.asarray(imgs2),
                                    jnp.asarray(K, jnp.float32),
                                    int(max_points), jnp.float32(quality),
-                                   key, int(lk_iters))
+                                   key, int(lk_iters), int(n_samples))
 
 
 def get_ego_motion(img1, img2, K, max_points: int = 400,

@@ -77,8 +77,9 @@ def main():
         match_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         warp_dtype=jnp.bfloat16 if args.fast else None,
         compensation="decode" if args.fast else "warp",
-        lk_iters=6 if args.fast else 10,
+        lk_iters=5 if args.fast else 10,
         ransac_samples=48 if args.fast else 64,
+        state_dtype=jnp.bfloat16 if args.fast else None,
         ego_downsample=2 if args.fast else 1)
 
     rng = np.random.RandomState(0)

@@ -48,7 +48,7 @@ class BatchedDepthEstimator:
                  head: str = "mean", match_dtype=jnp.float32,
                  warp_dtype=None, ego_downsample: int = 1,
                  compensation: str = "warp", lk_iters: int = 10,
-                 ransac_samples: int = 64):
+                 ransac_samples: int = 64, state_dtype=None):
         """Throughput knobs (all off by default = the parity path):
           * match_dtype / warp_dtype: bf16 feature storage in the fused
             matcher / the rotation-compensation gather (inference-only
@@ -71,7 +71,12 @@ class BatchedDepthEstimator:
             anyway) and indexes the field at p instead of h^-1(p) (a
             sub-pixel attribution shift for small rotations). Agreement
             with 'warp' on small rotations is tested;
-          * lk_iters: per-level LK iterations (10 = the parity default).
+          * lk_iters: per-level LK iterations (10 = the parity default);
+          * ransac_samples: essential-RANSAC sample count (64 = parity);
+          * state_dtype: storage type of the on-device stream state
+            (previous frames + feature maps) — bf16 halves the state
+            read/write traffic per step; compute still runs f32/matcher
+            rules downstream.
         """
         geometry.validate()
         assert head in ("mean", "max")
@@ -105,7 +110,11 @@ class BatchedDepthEstimator:
             u = jax.vmap(
                 lambda f: undist.undistort_image(f, Ks, cal.distortion)
             )(frames)
-            return u, self.model.features(params, u)
+            feats = self.model.features(params, u)
+            if state_dtype is not None:
+                u = u.astype(state_dtype)
+                feats = feats.astype(state_dtype)
+            return u, feats
 
         def _step(params, last_u, last_feats, frames):
             B = frames.shape[0]

@@ -180,4 +180,4 @@ def test_throughput_knobs_agree_with_parity_path():
     # the tail tracks |delta|: this synthetic pair carries ~2 px of
     # rotation-compensated shift, so a few percent of pixels move ~1 px
     assert np.percentile(diff, 95) < 1.5, np.percentile(diff, 95)
-    assert diff.mean() < 0.35, diff.mean()
+    assert diff.mean() < 0.5, diff.mean()

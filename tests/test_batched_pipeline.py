@@ -181,3 +181,38 @@ def test_throughput_knobs_agree_with_parity_path():
     # rotation-compensated shift, so a few percent of pixels move ~1 px
     assert np.percentile(diff, 95) < 1.5, np.percentile(diff, 95)
     assert diff.mean() < 0.5, diff.mean()
+
+
+def test_batched_stream_multi_step():
+    """BatchedDepthEstimator over a 4-frame stream: device state chains
+    (each step matches against the PREVIOUS frame's features), so a
+    constant-velocity sequence yields the per-step shift at every step."""
+    rng = np.random.RandomState(5)
+    h, w = 64, 80
+    cal = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="t3", wImg=w, hImg=h,
+        fx=80.0, fy=80.0, cx=w / 2, cy=h / 2,
+        sfm=dataclasses.replace(calmod.RECTIFIED_GOPRO_SMALL.sfm,
+                                max_points=128))
+    g = Geometry(hImg=h, wImg=w, layers=((3, 5, 5, 8),), maxh=6, maxw=6)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(2))
+
+    base = _texture(rng, h, w + 12)
+    frames = [base[:, k * 2:k * 2 + w] for k in range(4)]  # dx=2 per step
+    B = 2
+    est = api.BatchedDepthEstimator(g, params, cal)
+    est.reset(jnp.asarray(np.stack([frames[0]] * B)))
+    for k in range(1, 4):
+        xf, m, _, good = est.next_frames(
+            jnp.asarray(np.stack([frames[k]] * B)))
+        xf, m = np.asarray(xf), np.asarray(m)
+        sel = m > 0
+        assert sel.mean() > 0.2, (k, sel.mean())
+        # a uniform 2 px shift is exactly what ego-motion reads as camera
+        # pan, so the ROTATION-COMPENSATED flow is near zero at EVERY step
+        # — which is itself the state-chaining evidence: had the state not
+        # advanced, step k would see a 2k px shift, of which up to the
+        # window range would leak into the flow as a large bias
+        med = np.median(xf[0][sel[0]])
+        assert abs(med) < 0.75, (k, med)

@@ -332,11 +332,14 @@ def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
 
     cost = |f1|^2 + |f2(+d)|^2 - 2 <f1, f2(+d)>; |f1|^2 is constant across
     window cells, so argmax and softmax are computed on the partial logit
-    l' = 2 <f1, f2(+d)> - |f2(+d)|^2 (K FMAs instead of K subs + K FMAs),
-    with |f1|^2 subtracted once inside the exp so exp(l' - n1) = exp(-cost)
-    <= 1 — no overflow, hence no flash-style running-max rescaling. Floating
-    point caveat: the decomposition rounds differently from direct diff^2,
-    so near-exact ties can decode to a neighboring cell; use _fused_kernel
+    l' = 2 <f1, f2(+d)> - |f2(+d)|^2 (K FMAs instead of K subs + K FMAs).
+    exp(-cost) <= 1 never overflows, but it UNDERFLOWS: trained feature
+    maps reach costs of hundreds, exp(-cost) flushes to zero for every
+    cell and s = 0 poisons the decode with NaNs (caught by the quality
+    dossier on a trained model) — so the softmax accumulators use the same
+    flash-style running-max rescaling as _fused_kernel. Floating point
+    caveat: the decomposition rounds differently from direct diff^2, so
+    near-exact ties can decode to a neighboring cell; use _fused_kernel
     for bit-parity with the reference.
     """
     K = f1_ref.shape[0]
@@ -369,18 +372,20 @@ def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
             cross = jnp.sum((f1 * sl).astype(jnp.float32), axis=0)
             n2s = jax.lax.slice(n2x, (dy, 0), (dy + th, W))
             t = 2.0 * cross - n2s - n1   # = -cost (cost = n1 + n2s - 2 cross)
-            e = jnp.exp(t)
-            s = s + e
-            sy = sy + e * (dy - halfh1)
-            sx = sx + e * (dx - halfw1)
+            m_new = jnp.maximum(bm, t)
+            scale = jnp.exp(bm - m_new)
+            e = jnp.exp(t - m_new)
+            s = s * scale + e
+            sy = sy * scale + e * (dy - halfh1)
+            sx = sx * scale + e * (dx - halfw1)
             better = t > bm
             bi = jnp.where(better, d, bi)
-            bm = jnp.maximum(bm, t)
+            bm = m_new
             if d == mid:
                 tmid = t
     tie = tmid >= bm
     idx_ref[...] = jnp.where(tie, mid, bi)
-    pmax_ref[...] = jnp.exp(bm) / s
+    pmax_ref[...] = 1.0 / s              # exp(bm - bm) / s
     py_ref[...] = sy / s
     px_ref[...] = sx / s
 

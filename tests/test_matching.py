@@ -250,3 +250,28 @@ def test_fast_kernel_bf16_parity():
     assert agree > 0.9, agree
     np.testing.assert_allclose(np.asarray(o32[2]), np.asarray(of[2]),
                                atol=0.25)
+
+
+def test_fast_kernel_large_magnitude_features():
+    """Regression: trained feature maps reach costs of hundreds; the
+    norm-decomposed kernel's softmax must not underflow to s = 0 / NaN
+    (caught by the quality dossier on a trained model — fixed with
+    flash-style rescaling, matching _fused_kernel)."""
+    rng = np.random.RandomState(13)
+    maxh = maxw = 8
+    H, W, K = 24, 32, 10
+    f1 = jnp.asarray(rng.randn(H, W, K) * 30.0, jnp.float32)
+    f2 = jnp.asarray(rng.randn(H + maxh - 1, W + maxw - 1, K) * 30.0,
+                     jnp.float32)
+    i_fast, y_fast, x_fast, p_fast = matching.match_flow_fast(
+        f1, f2, maxh, maxw, 8, True)
+    assert np.isfinite(np.asarray(y_fast)).all()
+    assert np.isfinite(np.asarray(x_fast)).all()
+    assert np.isfinite(np.asarray(p_fast)).all()
+    i_ref, y_ref, x_ref, p_ref = matching.match_flow_fused(
+        f1, f2, maxh, maxw, 8, True)
+    assert (np.asarray(i_fast) == np.asarray(i_ref)).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(p_fast), np.asarray(p_ref),
+                               atol=1e-3)

@@ -72,23 +72,34 @@ def _run():
     BATCH = 128
     H_IN, W_IN = 480, 640
 
+    # device-side downscale to working resolution (the reference's
+    # image.scale step) as separable triangle-kernel MATMULS on the MXU —
+    # same resampling kernel as jax.image.resize (see _resize_operator),
+    # measured +7% end-to-end over the jax.image.resize lowering
+    # (benchmarks/bench_headline_residual.py)
+    from depth_estimation_tpu.data.images import _resize_operator
+    Rop = jnp.asarray(_resize_operator(H_IN, g.hImg))
+    Cop = jnp.asarray(_resize_operator(W_IN, g.wImg))
+
     @jax.jit
     def pipeline(params, frames1, frames2):
-        # device-side downscale to working resolution (the reference's
-        # image.scale step)
-        small1 = jax.image.resize(
-            frames1, (BATCH, g.hImg, g.wImg, 3), method="bilinear")
-        small2 = jax.image.resize(
-            frames2, (BATCH, g.hImg, g.wImg, 3), method="bilinear")
+        def resize(f):
+            t = jnp.einsum("hH,bHWc->bhWc", Rop, f)
+            return jnp.einsum("wW,bhWc->bhwc", Cop, t)
+        small1 = resize(frames1)
+        small2 = resize(frames2)
         f1 = crop_features_center(g, model.features(params, small1))
         f2 = model.features(params, small2)
-        # norm-decomposed kernel + bf16 feature storage: the fastest
-        # measured combination at this exact shape (f32 fused 0.507 ->
-        # bf16 fused 0.436 -> bf16 fast 0.404 ms/pair). Same output
-        # contract; near-exact cost ties may round to a neighboring cell
-        # (see ops/matching.py _fast_kernel notes + README roofline)
-        idx, ey, ex, pmax = matching.match_flow_fast(
-            f1, f2, g.maxh, g.maxw, 32, False, jnp.bfloat16
+        # diff-form fused kernel + bf16 feature storage: the fastest
+        # PRODUCTION-QUALITY combination (matcher-only at this shape:
+        # fused f32 0.328 -> fused bf16 0.229 -> fast bf16 0.209 ms/pair,
+        # but the norm-decomposed bf16 fast path measures ~1 px mean EPE
+        # delta on TRAINED models — quality dossier — so the headline
+        # benches what production would ship: fused bf16, 0.05 px delta).
+        # block_rows=32 measured fastest (0.240@8 / 0.229@32 / 0.306@48,
+        # 64 exceeds scoped VMEM at B=128).
+        idx, ey, ex, pmax = matching.match_flow_fused(
+            f1, f2, g.maxh, g.maxw, 32, False, False, jnp.bfloat16
         )
         # depth from x-flow (translation magnitude m = 1)
         W = ex.shape[-1]

@@ -369,7 +369,11 @@ def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
         for dy in range(maxh):
             d = dy * maxw + dx
             sl = jax.lax.slice(f2x, (0, dy, 0), (K, dy + th, W))
-            cross = jnp.sum((f1 * sl).astype(jnp.float32), axis=0)
+            # upcast BEFORE the multiply: bf16 products would re-round the
+            # large cross terms the norms must cancel against (loads stay
+            # bf16 — that was the speedup; VPU ALU runs at f32 rate anyway)
+            cross = jnp.sum(f1.astype(jnp.float32) * sl.astype(jnp.float32),
+                            axis=0)
             n2s = jax.lax.slice(n2x, (dy, 0), (dy + th, W))
             t = 2.0 * cross - n2s - n1   # = -cost (cost = n1 + n2s - 2 cross)
             m_new = jnp.maximum(bm, t)
@@ -408,12 +412,23 @@ def match_flow_fast(
     W2r = f2.shape[2]
     assert f2.shape[1] == H + maxh - 1 and W2r == W + maxw - 1
 
-    f1f = jnp.transpose(f1, (0, 3, 1, 2)).astype(jnp.float32)
-    f2f = jnp.transpose(f2, (0, 3, 1, 2)).astype(jnp.float32)
-    n1 = jnp.sum(f1f * f1f, axis=1)                      # (B, H, W)
-    n2 = jnp.sum(f2f * f2f, axis=1)                      # (B, H2, W2)
-    f1t = f1f.astype(dtype)
-    f2t = f2f.astype(dtype)
+    f1t = jnp.transpose(f1, (0, 3, 1, 2)).astype(dtype)
+    f2t = jnp.transpose(f2, (0, 3, 1, 2)).astype(dtype)
+    # norms from the SAME rounded values, in f32: the decomposition
+    # cost = n1 + n2 - 2 cross only telescopes back to |f1 - f2|^2 when
+    # all three terms see identical feature values. Exact-f32 norms mixed
+    # with bf16-rounded cross products leave O(|f|^2 eps_bf16) residuals
+    # that swamp small costs on trained (large-magnitude) feature maps —
+    # measured 1.36 px mean EPE error vs 0.05 px for the fused kernel.
+    # Consistent rounding removes that inconsistency but NOT the
+    # decomposition's inherent absolute-noise floor: bf16 fast still
+    # measures ~1.0 px mean EPE delta on trained models (quality dossier),
+    # so bf16 here is benchmark/experimental only — production bf16
+    # inference uses match_flow_fused (diff-form, 0.05 px).
+    f1r = f1t.astype(jnp.float32)
+    f2r = f2t.astype(jnp.float32)
+    n1 = jnp.sum(f1r * f1r, axis=1)                      # (B, H, W)
+    n2 = jnp.sum(f2r * f2r, axis=1)                      # (B, H2, W2)
 
     sub = 16 if dtype == jnp.bfloat16 else 8
     th = max(sub, (min(block_rows, H) // sub) * sub)

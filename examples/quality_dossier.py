@@ -153,6 +153,8 @@ def bf16_epe_deltas(geom, params, img1, img2):
     for name, fl in (
         ("fused_bf16", flow_of(matching.match_flow_fused, 8, False, False,
                                jnp.bfloat16)),
+        ("fast_f32", flow_of(matching.match_flow_fast, 32, False,
+                             jnp.float32)),
         ("fast_bf16", flow_of(matching.match_flow_fast, 32, False,
                               jnp.bfloat16)),
     ):

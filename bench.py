@@ -74,20 +74,15 @@ def _run():
 
     # device-side downscale to working resolution (the reference's
     # image.scale step) as separable triangle-kernel MATMULS on the MXU —
-    # same resampling kernel as jax.image.resize (see _resize_operator),
-    # measured +7% end-to-end over the jax.image.resize lowering
+    # same resampling kernel as jax.image.resize, measured +7% end-to-end
+    # over the jax.image.resize lowering
     # (benchmarks/bench_headline_residual.py)
-    from depth_estimation_tpu.data.images import _resize_operator
-    Rop = jnp.asarray(_resize_operator(H_IN, g.hImg))
-    Cop = jnp.asarray(_resize_operator(W_IN, g.wImg))
+    from depth_estimation_tpu.data.images import scale_batched_device
 
     @jax.jit
     def pipeline(params, frames1, frames2):
-        def resize(f):
-            t = jnp.einsum("hH,bHWc->bhWc", Rop, f)
-            return jnp.einsum("wW,bhWc->bhwc", Cop, t)
-        small1 = resize(frames1)
-        small2 = resize(frames2)
+        small1 = scale_batched_device(frames1, g.hImg, g.wImg)
+        small2 = scale_batched_device(frames2, g.hImg, g.wImg)
         f1 = crop_features_center(g, model.features(params, small1))
         f2 = model.features(params, small2)
         # diff-form fused kernel + bf16 feature storage: the fastest

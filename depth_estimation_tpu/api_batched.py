@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import codecs
+from .data import images
 from .geometry import Geometry
 from .geometry3d import undistort as undist
 from .geometry3d.calibration import Calibration
@@ -48,7 +49,8 @@ class BatchedDepthEstimator:
                  head: str = "mean", match_dtype=jnp.float32,
                  warp_dtype=None, ego_downsample: int = 1,
                  compensation: str = "warp", lk_iters: int = 10,
-                 ransac_samples: int = 64, state_dtype=None):
+                 ransac_samples: int = 64, state_dtype=None,
+                 match_block: int = 8):
         """Throughput knobs (all off by default = the parity path):
           * match_dtype / warp_dtype: bf16 feature storage in the fused
             matcher / the rotation-compensation gather (inference-only
@@ -97,13 +99,11 @@ class BatchedDepthEstimator:
         def _prep(params, frames):
             """Normalize / downscale / undistort / filter a batch of frames
             (ONE conv trunk pass per frame — the prefilter split)."""
-            B = frames.shape[0]
             if frames.dtype == jnp.uint8:
                 frames = frames.astype(jnp.float32) / 255.0
-            if frames.shape[1:3] != (g.hImg, g.wImg):
-                frames = jax.image.resize(
-                    frames, (B, g.hImg, g.wImg, frames.shape[-1]),
-                    method="bilinear")
+            # separable-matmul resize (MXU) — same kernel as
+            # jax.image.resize, measured faster (data/images.py)
+            frames = images.scale_batched_device(frames, g.hImg, g.wImg)
             # fixed sampling map shared by the batch: undistortion's grid
             # does not depend on the data, so the whole batch goes through
             # one gather program (vmap over items with identical indices)
@@ -161,13 +161,15 @@ class BatchedDepthEstimator:
                 f1 = flow_model.crop_features_center(g, last_feats)
             if head == "mean":
                 idx, ey, ex, pmax, marg = matching.match_flow_fused(
-                    f1, feats, g.maxh, g.maxw, 8, False, True, match_dtype)
+                    f1, feats, g.maxh, g.maxw, match_block, False, True,
+                    match_dtype)
                 y, x = ey, ex
                 confs = extract.confidences_from_marginal(
                     jnp.moveaxis(marg, 1, -1), 0.11).astype(jnp.float32)
             else:
                 idx, ey, ex, pmax = matching.match_flow_fused(
-                    f1, feats, g.maxh, g.maxw, 8, False, False, match_dtype)
+                    f1, feats, g.maxh, g.maxw, match_block, False, False,
+                    match_dtype)
                 wy, wx = codecs.decode(g, idx)
                 y = wy.astype(jnp.float32)
                 x = wx.astype(jnp.float32)

@@ -51,6 +51,24 @@ def _resize_operator(n_in: int, n_out: int) -> np.ndarray:
 _resize_op_cache: dict = {}
 
 
+def scale_batched_device(frames: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """DEVICE-side batched bilinear resize (B, H, W, C) -> (B, h, w, C) as
+    two separable triangle-kernel MATMULS on the MXU — same resampling
+    kernel as ``scale``/jax.image.resize (``_resize_operator``), measured
+    +7% end-to-end over the jax.image.resize lowering at the headline shape
+    (benchmarks/bench_headline_residual.py). Jit-safe (operators are baked
+    as constants per (H, h, W, w))."""
+    H, W = frames.shape[1:3]
+    if (H, W) == (h, w):
+        return frames
+    key = (H, h, W, w)
+    if key not in _resize_op_cache:
+        _resize_op_cache[key] = (_resize_operator(H, h), _resize_operator(W, w))
+    R, C = _resize_op_cache[key]
+    t = jnp.einsum("hH,bHWc->bhWc", jnp.asarray(R), frames)
+    return jnp.einsum("wW,bhWc->bhwc", jnp.asarray(C), t)
+
+
 def scale_np(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """HOST-side bilinear resize matching ``scale`` (separable matmuls with
     cached operators). Used by streaming drivers to downscale camera frames

@@ -179,6 +179,25 @@ def test_scale_np_matches_device_scale():
     assert np.abs(b8.astype(np.float32) - a8).max() <= 1.0
 
 
+def test_scale_batched_device_matches_resize():
+    """The device-side separable-matmul resize (MXU form used by bench.py
+    and the batched pipeline) must reproduce jax.image.resize bilinear."""
+    import jax
+    import jax.numpy as jnp
+    from depth_estimation_tpu.data.images import scale_batched_device
+
+    rng = np.random.RandomState(3)
+    frames = rng.rand(4, 48, 64, 3).astype(np.float32)
+    ref = jax.image.resize(jnp.asarray(frames), (4, 18, 32, 3),
+                           method="bilinear")
+    out = scale_batched_device(jnp.asarray(frames), 18, 32)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-4)
+    # identity early-out keeps the tensor untouched
+    same = scale_batched_device(jnp.asarray(frames), 48, 64)
+    np.testing.assert_array_equal(np.asarray(same), frames)
+
+
 def test_load_mc_pair_recovers_affine_motion():
     """The -mc backend (load_mc_pair) must align a previous frame related to
     the current one by an in-plane rotation + translation — exactly the

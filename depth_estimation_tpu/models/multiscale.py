@@ -469,3 +469,35 @@ class MultiscaleFlowModel:
         fused = apply_cascade(g, params, dists)
         out = middle_removal_concat(g, fused)
         return log_eps(out) if log else out
+
+    def forward_fovea_batch(self, params, crops1: jnp.ndarray,
+                            crops2: jnp.ndarray, log: bool = True
+                            ) -> jnp.ndarray:
+        """Batched fovea forward over PRE-CROPPED coarsest-scale footprints:
+        crops1/crops2 (B, rmax*hPatch2, rmax*wPatch2, C), each the region
+        whose center pixel (ceil convention) is the fovea — exactly the
+        pixels ``forward_fovea`` reads, materialized at sampler time
+        (training.sample_foveas). Every per-scale crop is then a STATIC
+        centered slice, so the whole batch compiles to dense conv/matmul
+        work. The per-sample dynamic_slice form (vmap of ``forward_fovea``
+        over full frames) measured ~5.7 s/step on a tunneled v5e at B=32;
+        this formulation is pure static-shape XLA. Returns (B, n_indices)."""
+        g = self.geometry
+        Hm, Wm = g.rmax * g.hPatch2, g.rmax * g.wPatch2
+        assert crops1.shape[1:3] == (Hm, Wm), (crops1.shape, Hm, Wm)
+
+        def one(c1, c2):
+            dists = []
+            for r in g.ratios:
+                Hc, Wc = r * g.hPatch2, r * g.wPatch2
+                oy = (math.ceil(Hm / 2) - 1) - (math.ceil(Hc / 2) - 1)
+                ox = (math.ceil(Wm / 2) - 1) - (math.ceil(Wc / 2) - 1)
+                d1 = avg_downsample(c1[oy:oy + Hc, ox:ox + Wc], r)
+                d2 = avg_downsample(c2[oy:oy + Hc, ox:ox + Wc], r)
+                costs = self._scale_costs(params, d1, d2)
+                dists.append(jax.nn.softmax(-costs, axis=-1).reshape(-1))
+            fused = apply_cascade(g, params, dists)
+            out = middle_removal_concat(g, fused)
+            return log_eps(out) if log else out
+
+        return jax.vmap(one, in_axes=(0, 0))(crops1, crops2)

@@ -179,6 +179,11 @@ class FoveaDataset:
     xs: np.ndarray        # (N,) int32 fovea cols
     targets_yx: np.ndarray
     itargets: np.ndarray
+    # coarsest-footprint crops materialized at sampler time — the trainer
+    # consumes these (static-shape batch, MultiscaleFlowModel
+    # .forward_fovea_batch) instead of dynamic-slicing full frames on device
+    crops1: np.ndarray = None   # (N, rmax*hPatch2, rmax*wPatch2, C)
+    crops2: np.ndarray = None
 
     def __len__(self):
         return len(self.itargets)
@@ -227,12 +232,24 @@ def sample_foveas(
         tyx.append((fy, fx))
         its.append(int(codecs.encode(geom, fy, fx)))
     order = sorted(img_map, key=img_map.get)
+    stack1 = np.stack([images[k] for k in order]).astype(np.float32)
+    stack2 = np.stack([images[k + 1] for k in order]).astype(np.float32)
+    i1a = np.asarray(i1, np.int32)
+    iya = np.asarray(iy, np.int32)
+    ixa = np.asarray(ix, np.int32)
+    # materialize the coarsest-footprint crop per sample (same pixels
+    # forward_fovea dynamic-slices; static-shape batch for the trainer)
+    c1 = np.empty((len(i1a), Hc, Wc, stack1.shape[-1]), np.float32)
+    c2 = np.empty_like(c1)
+    for s in range(len(i1a)):
+        y0 = iya[s] - y_lo
+        x0 = ixa[s] - x_lo
+        c1[s] = stack1[i1a[s], y0:y0 + Hc, x0:x0 + Wc]
+        c2[s] = stack2[i1a[s], y0:y0 + Hc, x0:x0 + Wc]
     return FoveaDataset(
-        np.stack([images[k] for k in order]).astype(np.float32),
-        np.stack([images[k + 1] for k in order]).astype(np.float32),
-        np.asarray(i1, np.int32), np.asarray(iy, np.int32),
-        np.asarray(ix, np.int32),
+        stack1, stack2, i1a, iya, ixa,
         np.asarray(tyx, np.float32), np.asarray(its, np.int32),
+        crops1=c1, crops2=c2,
     )
 
 
@@ -246,18 +263,19 @@ class MultiscaleTrainer:
         self.tx = sgd_torch(learning.rate, learning.rate_decay,
                             learning.weight_decay)
 
-        def loss_fn(params, imgs1, imgs2, idxs, ys, xs, itarget):
-            def one(i, y, x):
-                return model.forward_fovea(params, imgs1[i], imgs2[i], y, x)
-            logp = jax.vmap(one)(idxs, ys, xs)
+        def loss_fn(params, crops1, crops2, itarget):
+            # static-shape batched forward over pre-cropped footprints —
+            # the vmap-of-dynamic-slice form measured ~5.7 s/step on a
+            # tunneled v5e; this is dense conv/matmul work (~ms)
+            logp = model.forward_fovea_batch(params, crops1, crops2)
             ll = jnp.take_along_axis(logp, itarget[:, None], axis=-1)[:, 0]
             pred = jnp.argmax(logp, axis=-1)
             return -jnp.mean(ll), {
                 "acc": jnp.mean((pred == itarget).astype(jnp.float32))}
 
-        def step(state, imgs1, imgs2, idxs, ys, xs, itarget):
+        def step(state, crops1, crops2, itarget):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, imgs1, imgs2, idxs, ys, xs, itarget)
+                state.params, crops1, crops2, itarget)
             gsum = sum(jnp.sum(x) for x in jax.tree.leaves(grads))
             ok = jnp.isfinite(gsum)
             grads = jax.tree.map(lambda x: jnp.where(ok, x, 0.0), grads)
@@ -282,17 +300,22 @@ class MultiscaleTrainer:
         order = np.arange(n)
         if shuffle_rng is not None:
             shuffle_rng.shuffle(order)
-        imgs1 = jnp.asarray(ds.images1)
-        imgs2 = jnp.asarray(ds.images2)
+        assert ds.crops1 is not None, \
+            "FoveaDataset without materialized crops (rebuild via sample_foveas)"
+        crops1 = jnp.asarray(ds.crops1)
+        crops2 = jnp.asarray(ds.crops2)
         losses, accs = [], []
         for b in range(0, n, bs):
             sel = order[b:b + bs]
             state, aux = self._step(
-                state, imgs1, imgs2,
-                jnp.asarray(ds.img_idx[sel]), jnp.asarray(ds.ys[sel]),
-                jnp.asarray(ds.xs[sel]), jnp.asarray(ds.itargets[sel]))
-            losses.append(float(aux["loss"]))
-            accs.append(float(aux["acc"]))
+                state, crops1[sel], crops2[sel],
+                jnp.asarray(ds.itargets[sel]))
+            losses.append(aux["loss"])
+            accs.append(aux["acc"])
+        # ONE device->host fetch per epoch: per-step scalar fetches cost a
+        # full tunnel round-trip each on remote-attached TPUs
+        losses = [float(x) for x in jax.device_get(losses)]
+        accs = [float(x) for x in jax.device_get(accs)]
         return state, {"loss": float(np.mean(losses)),
                        "acc": float(np.mean(accs))}
 
@@ -355,7 +378,10 @@ class Trainer:
                 jnp.asarray(ds.patches1[sel]), jnp.asarray(ds.patches2[sel]),
                 jnp.asarray(ds.itargets[sel]), soft_t,
             )
-            losses.append(float(aux["loss"]))
-            accs.append(float(aux["acc"]))
+            losses.append(aux["loss"])
+            accs.append(aux["acc"])
+        # ONE device->host fetch per epoch (see MultiscaleTrainer.epoch)
+        losses = [float(x) for x in jax.device_get(losses)]
+        accs = [float(x) for x in jax.device_get(accs)]
         return state, {"loss": float(np.mean(losses)),
                        "acc": float(np.mean(accs))}

@@ -310,3 +310,28 @@ def test_cascade_beta_gradient_check():
             bm = betas.at[0, i].add(-eps)
             fd = (float(f_frozen(bp)) - float(f_frozen(bm))) / (2 * eps)
             np.testing.assert_allclose(gb[0, i], fd, rtol=1e-4)
+
+
+def test_forward_fovea_batch_matches_per_sample():
+    """The static-crop batched fovea forward must equal the per-sample
+    dynamic-slice forward on the same foveas (it reads the same pixels)."""
+    import math
+    g = make_geometry((1, 2))
+    model = ms.MultiscaleFlowModel(g)
+    params = model.init(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(7)
+    im1 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3).astype(np.float32))
+    Hm, Wm = g.rmax * g.hPatch2, g.rmax * g.wPatch2
+    y_lo = math.ceil(Hm / 2) - 1
+    x_lo = math.ceil(Wm / 2) - 1
+    foveas = [(y_lo, x_lo), (32, 36), (g.hImg - (Hm - y_lo) - 1,
+                                       g.wImg - (Wm - x_lo) - 1)]
+    crops1 = jnp.stack([im1[y - y_lo:y - y_lo + Hm, x - x_lo:x - x_lo + Wm]
+                        for y, x in foveas])
+    crops2 = jnp.stack([im2[y - y_lo:y - y_lo + Hm, x - x_lo:x - x_lo + Wm]
+                        for y, x in foveas])
+    batched = np.asarray(model.forward_fovea_batch(params, crops1, crops2))
+    for i, (y, x) in enumerate(foveas):
+        single = np.asarray(model.forward_fovea(params, im1, im2, y, x))
+        np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-6)

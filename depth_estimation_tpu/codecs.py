@@ -240,6 +240,19 @@ def encode(geom: Geometry, dy, dx) -> jnp.ndarray:
     return tabj[iy, ix]
 
 
+def encode_np(geom: Geometry, dy, dx) -> np.ndarray:
+    """HOST-side ``encode`` (same table, same rounding). The patch samplers
+    call encode once per accepted sample inside their rejection loops — the
+    jnp form costs a device dispatch + fetch per call, a full tunnel
+    round-trip on remote-attached TPUs."""
+    tab, y_off, x_off = encode_lut(geom)
+    iy = np.clip(np.floor(np.asarray(dy) + 0.5).astype(np.int32) + y_off,
+                 0, tab.shape[0] - 1)
+    ix = np.clip(np.floor(np.asarray(dx) + 0.5).astype(np.int32) + x_off,
+                 0, tab.shape[1] - 1)
+    return tab[iy, ix]
+
+
 def decode(geom: Geometry, flat) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Vectorized decode: flat indices -> centered (dy, dx) int32 arrays.
     Replaces the reference's inline-C x2yxMulti2 (/root/reference/x2yxMulti2.c)

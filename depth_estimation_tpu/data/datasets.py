@@ -34,7 +34,7 @@ from ..geometry3d import polar as polar_ops
 from ..geometry3d import undistort as undist
 from ..geometry3d.calibration import Calibration
 from . import groundtruth as gt_mod
-from .images import ImageLoader, load_image, scale
+from .images import ImageLoader, load_image, scale, scale_np
 
 
 # ---------------------------------------------------------------------------
@@ -183,8 +183,10 @@ def load_plain_pair(
     """No rectification (trainer without -mc): raw scaled consecutive frames
     (loadImageOpticalFlow, /root/reference/groundtruth_opticalflow.lua:156-195)."""
     h, w = geom.hImg, geom.wImg
-    prev_s = np.asarray(scale(jnp.asarray(prev), h, w))
-    img_s = np.asarray(scale(jnp.asarray(img), h, w))
+    # host-side resize: a device scale + fetch per frame costs seconds of
+    # tunnel latency on remote-attached TPUs (scale_np matches scale, tested)
+    prev_s = scale_np(np.asarray(prev), h, w)
+    img_s = scale_np(np.asarray(img), h, w)
     mask = np.ones((h, w), np.float32)
     flow = conf = None
     if compute_gt:
@@ -355,8 +357,8 @@ def load_data_optical_flow(
             raw["warped_images"].append(pair.prev_warped)
             raw["masks"].append(pair.mask)
             raw["flow"].append(pair.flow if pair.good else None)
-        raw["images"].append(np.asarray(
-            scale(jnp.asarray(frames[-1]), geom.hImg, geom.wImg)))
+        raw["images"].append(scale_np(np.asarray(frames[-1]),
+                                      geom.hImg, geom.wImg))
         return raw
 
     pair_loader = _PAIR_LOADERS[motion_correction]
@@ -407,7 +409,7 @@ class FlowDataset:
         if i not in self._full:
             img = load_image(os.path.join(self.dir, "images", self.names[i]))
             if img.shape[:2] != (self.cal.hImg, self.cal.wImg):
-                img = np.asarray(scale(img, self.cal.hImg, self.cal.wImg))
+                img = scale_np(img, self.cal.hImg, self.cal.wImg)
             self._full[i] = img
         return self._full[i]
 

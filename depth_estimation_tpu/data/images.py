@@ -127,7 +127,7 @@ class ImageLoader:
         self.i += 1
         img = load_image(p)
         if img.shape[:2] != (self.h, self.w):
-            img = np.asarray(scale(img, self.h, self.w))
+            img = scale_np(img, self.h, self.w)   # host: no tunnel round-trip
         return img
 
 
@@ -172,7 +172,7 @@ class ImageCamera:
                 return None
             img = self._center_crop_aspect(self._queue.pop(0))
         if img.shape[:2] != (self.h, self.w):
-            img = np.asarray(scale(img, self.h, self.w))
+            img = scale_np(img, self.h, self.w)   # host: no tunnel round-trip
         return img
 
     def close(self) -> None:

@@ -109,6 +109,17 @@ class PatchDataset:
         return len(self.itargets)
 
 
+def _host_arrays(xs: Optional[list]) -> Optional[list]:
+    """Materialize a list of (possibly device-resident) arrays on host.
+    The samplers scalar-index flows/masks thousands of times in their
+    rejection loops; on a remote-attached TPU every scalar read of a device
+    array is a full tunnel round-trip (~25 ms) — measured 137 s per
+    3000-sample call before this, ~0.5 s after."""
+    if xs is None:
+        return None
+    return [None if x is None else np.asarray(x) for x in xs]
+
+
 def sample_patches(
     geom: Geometry, learning: Learning,
     images: list, flows: list, masks: Optional[list],
@@ -116,6 +127,9 @@ def sample_patches(
 ) -> PatchDataset:
     """images: list of (H, W, C); flows[i] = (2, H, W) GT flow from images[i]
     to images[i+1]; masks[i] optional validity mask."""
+    images = _host_arrays(images)
+    flows = _host_arrays(flows)
+    masks = _host_arrays(masks)
     hoff = -(-geom.maxhGT // 2) + -(-geom.hKernelGT // 2) - 1
     woff = -(-geom.maxwGT // 2) + -(-geom.wKernelGT // 2) - 1
     if geom.multiscale:
@@ -152,7 +166,7 @@ def sample_patches(
         p1.append(images[i][y0:y0 + hP, x0:x0 + wP])
         p2.append(images[i + 1][y0:y0 + hP, x0:x0 + wP])
         tyx.append((fy, fx))
-        its.append(int(codecs.encode(geom, fy, fx)))
+        its.append(int(codecs.encode_np(geom, fy, fx)))
     return PatchDataset(
         np.stack(p1).astype(np.float32), np.stack(p2).astype(np.float32),
         np.asarray(tyx, np.float32), np.asarray(its, np.int32),
@@ -198,6 +212,9 @@ def sample_foveas(
     fovea coordinates; rejects foveas whose coarsest-scale crop leaves the
     frame or whose GT is outside the high-res window."""
     import math
+    images = _host_arrays(images)
+    flows = _host_arrays(flows)
+    masks = _host_arrays(masks)
     assert geom.multiscale
     mh, mw = geom.maxh * geom.rmax, geom.maxw * geom.rmax
     lo_h, hi_h = -math.ceil(mh / 2) + 1, mh // 2
@@ -230,7 +247,7 @@ def sample_foveas(
         iy.append(yc)
         ix.append(xc)
         tyx.append((fy, fx))
-        its.append(int(codecs.encode(geom, fy, fx)))
+        its.append(int(codecs.encode_np(geom, fy, fx)))
     order = sorted(img_map, key=img_map.get)
     stack1 = np.stack([images[k] for k in order]).astype(np.float32)
     stack2 = np.stack([images[k + 1] for k in order]).astype(np.float32)

@@ -56,22 +56,22 @@ def main():
     m2 = MultiscaleFlowModel(g2)
     t2 = training.MultiscaleTrainer(m2, lrn2)
     st2 = t2.init(jax.random.PRNGKey(0))
-    imgs = jnp.asarray(rng.rand(2, 180, 320, 3), jnp.float32)
     B2 = lrn2.batch_size
-    idxs = jnp.zeros(B2, jnp.int32)
-    ys = jnp.full(B2, 90, jnp.int32)
-    xs = jnp.full(B2, 160, jnp.int32)
+    Hm, Wm = g2.rmax * g2.hPatch2, g2.rmax * g2.wPatch2
+    c1 = jnp.asarray(rng.rand(B2, Hm, Wm, 3), jnp.float32)
+    c2 = jnp.asarray(rng.rand(B2, Hm, Wm, 3), jnp.float32)
     itg = jnp.zeros(B2, jnp.int32)
 
-    st2, aux2 = t2._step(st2, imgs, imgs, idxs, ys, xs, itg)
+    st2, aux2 = t2._step(st2, c1, c2, itg)
     float(aux2["loss"])
     t0 = time.perf_counter()
     for _ in range(N):
-        st2, aux2 = t2._step(st2, imgs, imgs, idxs, ys, xs, itg)
+        st2, aux2 = t2._step(st2, c1, c2, itg)
     float(aux2["loss"])
     dt2 = (time.perf_counter() - t0) / N
-    print(f"multiscale fovea train step (B={B2}, 2 scales): "
-          f"{dt2*1e3:.2f} ms -> {B2/dt2:.0f} samples/s", flush=True)
+    print(f"multiscale fovea train step (B={B2}, 2 scales, "
+          f"{Hm}x{Wm} crops): {dt2*1e3:.2f} ms -> {B2/dt2:.0f} samples/s",
+          flush=True)
 
 
 if __name__ == "__main__":

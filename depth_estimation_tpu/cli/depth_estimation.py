@@ -169,15 +169,21 @@ def main(argv=None) -> int:
         for epoch in range(args.num_epochs):
             order = np.arange(n)
             rng.shuffle(order)
-            losses, conf = [], np.zeros(
-                (args.num_classes, args.num_classes), np.int64)
+            losses, preds = [], []
+            conf = np.zeros((args.num_classes, args.num_classes), np.int64)
             for b in range(0, n, bs):
                 sel = order[b:b + bs]
                 params, opt_state, loss, pred = step(
                     params, opt_state, jnp.asarray(train_p[sel]),
                     jnp.asarray(train_c[sel] - 1))
-                losses.append(float(loss))
-                np.add.at(conf, (train_c[sel] - 1, np.asarray(pred)), 1)
+                losses.append(loss)
+                preds.append((sel, pred))
+            # batched fetches: per-step scalar fetches cost a full tunnel
+            # round-trip each (see training/train.py)
+            losses = jax.device_get(losses)
+            for sel, pred in zip([s for s, _ in preds],
+                                 jax.device_get([p for _, p in preds])):
+                np.add.at(conf, (train_c[sel] - 1, pred), 1)
             acc = np.trace(conf) / max(conf.sum(), 1)
             tpred = np.asarray(infer(params, jnp.asarray(test_p)))
             tacc = float((tpred == test_c - 1).mean())

@@ -132,8 +132,12 @@ def main(argv=None) -> int:
             params, opt_state, loss, acc = step(
                 params, opt_state, jnp.asarray(p1[sel]), jnp.asarray(p2[sel]),
                 jnp.asarray(ts[sel]))
-            losses.append(float(loss))
-            accs.append(float(acc))
+            losses.append(loss)
+            accs.append(acc)
+        # one device->host fetch per epoch: per-step scalar fetches cost a
+        # full tunnel round-trip each (see training/train.py)
+        losses = jax.device_get(losses)
+        accs = jax.device_get(accs)
         print(f"epoch {epoch}: loss {np.mean(losses):.4f} acc {np.mean(accs):.3f}")
         # weights-only save, format version 1
         # (/root/reference/radial/radial_opticalflow_network.lua:122-132)

@@ -83,8 +83,11 @@ def main(argv=None) -> int:
                 jnp.asarray(patches.patches1[sel]),
                 jnp.asarray(patches.patches2[sel]),
                 jnp.asarray(patches.itargets[sel]))
-            losses.append(float(loss))
-            accs.append(float(acc))
+            losses.append(loss)
+            accs.append(acc)
+        # one device->host fetch per epoch (see training/train.py)
+        losses = jax.device_get(losses)
+        accs = jax.device_get(accs)
         print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
               f"acc {np.mean(accs):.3f}")
         with open(os.path.join(args.output_model_dir, f"e{epoch}"), "wb") as f:

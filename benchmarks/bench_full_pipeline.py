@@ -80,7 +80,8 @@ def main():
         lk_iters=5 if args.fast else 10,
         ransac_samples=48 if args.fast else 64,
         state_dtype=jnp.bfloat16 if args.fast else None,
-        ego_downsample=2 if args.fast else 1)
+        ego_downsample=2 if args.fast else 1,
+        match_block=32 if args.fast else 8)
 
     rng = np.random.RandomState(0)
     # textured frames (Shi-Tomasi needs corners; pure noise would track

@@ -107,14 +107,15 @@ class DepthEstimator:
             # fused Pallas matcher: match + softmax + WTA + soft-argmax in one
             # pass, never materializing the (H*W*maxh*maxw) cost volume in HBM
             if head == "mean":
-                idx, ey, ex, pmax, marg = matching.match_flow_fused(
-                    f1, filtered, g.maxh, g.maxw, 8, False, True)
-                y, x = ey, ex
                 # getOutputConfidences2's gate: thresholded extraction on the
-                # y-marginal (/root/reference/opticalflow_model.lua:192-198);
-                # the fused kernel emits the marginal as (maxh, H, W)
-                confs = extract.confidences_from_marginal(
-                    jnp.moveaxis(marg, 0, -1), 0.11).astype(jnp.float32)
+                # y-marginal (/root/reference/opticalflow_model.lua:192-198),
+                # computed INSIDE the fused kernel (want_conf) — equal to
+                # extract.confidences_from_marginal on the marginal output
+                # (equivalence-tested) without the maxh-times-larger HBM write
+                idx, ey, ex, pmax, confs = matching.match_flow_fused(
+                    f1, filtered, g.maxh, g.maxw, 8, False, False,
+                    jnp.float32, True, 0.11)
+                y, x = ey, ex
             else:
                 idx, ey, ex, pmax = matching.match_flow_fused(
                     f1, filtered, g.maxh, g.maxw)

@@ -160,12 +160,14 @@ class BatchedDepthEstimator:
                          & (jnp.abs(rot_x) <= margin_x)).astype(jnp.float32)
                 f1 = flow_model.crop_features_center(g, last_feats)
             if head == "mean":
-                idx, ey, ex, pmax, marg = matching.match_flow_fused(
-                    f1, feats, g.maxh, g.maxw, match_block, False, True,
-                    match_dtype)
+                # confidence gate fused into the matcher kernel (want_conf):
+                # equals confidences_from_marginal on the marginal output
+                # (equivalence-tested) without materializing the
+                # (B, maxh, H, W) marginal in HBM
+                idx, ey, ex, pmax, confs = matching.match_flow_fused(
+                    f1, feats, g.maxh, g.maxw, match_block, False, False,
+                    match_dtype, True, 0.11)
                 y, x = ey, ex
-                confs = extract.confidences_from_marginal(
-                    jnp.moveaxis(marg, 1, -1), 0.11).astype(jnp.float32)
             else:
                 idx, ey, ex, pmax = matching.match_flow_fused(
                     f1, feats, g.maxh, g.maxw, match_block, False, False,

@@ -3,8 +3,13 @@
 Rebuilds image_loader.lua (numbered ``images/%09d.jpg|png`` sequences,
 /root/reference/image_loader.lua:7-43) plus the image helpers the reference
 pulls from the torch 'image' package (load/scale/rgb2y). Decoding is PIL on
-host; resizing is jax.image (device). A webcam source (image_camera.lua) is
-stubbed — no V4L in this environment — behind the same interface.
+host. Resizing comes in three forms with identical kernels: ``scale``
+(device, single image), ``scale_batched_device`` (device, separable MXU
+matmuls — the jitted-pipeline form), ``scale_np`` (host BLAS — the
+frame-source/loader form; a device resize + fetch per frame costs seconds
+of tunnel latency on remote-attached TPUs). The webcam source
+(image_camera.lua) is ``ImageCamera``: real raw-ioctl V4L2 when a device
+path is given (data/v4l2.py), programmatic queue otherwise.
 """
 
 from __future__ import annotations

@@ -105,7 +105,8 @@ def match_ssd_radial(f1: jnp.ndarray, f2: jnp.ndarray, hwin: int) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 
 def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
-                  marg_ref=None, *, maxh: int, maxw: int, mid: int, th: int):
+                  marg_ref=None, conf_ref=None, *, maxh: int, maxw: int,
+                  mid: int, th: int, conf_threshold: float = 0.11):
     """One grid step processes a (K, TH, W) row-block of the output.
 
     f1_ref: (K, TH, W) VMEM — reference features for this row block.
@@ -196,13 +197,25 @@ def _fused_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
         # one full-block store: Mosaic can't slice a 4-D VMEM ref whose lane
         # dim isn't 128-aligned, so per-dy stores are not lowerable here
         marg_ref[...] = jnp.stack(rows, axis=0) / s[None]
+    if conf_ref is not None:
+        # the 'mean'-head confidence gate, fused: extract_output's
+        # rank-weighted score is > 0 iff ANY y-marginal entry clears the
+        # threshold (all rank weights are positive), so the gate reduces to
+        # max_dy(marg) > threshold — computed here from the row sums without
+        # materializing the (maxh, H, W) marginal in HBM
+        # (ops/extract.confidences_from_marginal, equivalence-tested).
+        mx = rows[0]
+        for dy in range(1, maxh):
+            mx = jnp.maximum(mx, rows[dy])
+        conf_ref[...] = (mx > jnp.float32(conf_threshold) * s).astype(
+            jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def match_flow_fused(
     f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
     block_rows: int = 8, interpret: bool = False, want_marg: bool = False,
-    dtype=jnp.float32,
+    dtype=jnp.float32, want_conf: bool = False, conf_threshold: float = 0.11,
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused match + decode. Accepts (H, W, K) or batched (B, H, W, K)
     inputs (batch is a native grid dimension — do NOT vmap this op; Pallas
@@ -214,7 +227,13 @@ def match_flow_fused(
       pmax f32 softmax probability of the WTA cell.
     With want_marg=True a fifth output marg ([B,] maxh, H, W) is appended:
     the normalized y-marginal softmax (the 'mean'-head confidence input).
+    With want_conf=True the appended output is instead the 'mean'-head
+    confidence GATE ([B,] H, W f32 0/1) — equal to
+    extract.confidences_from_marginal(marg, conf_threshold) but computed
+    in-kernel, skipping the maxh-times-larger marginal HBM write.
+    want_marg and want_conf are mutually exclusive.
     """
+    assert not (want_marg and want_conf)
     if not interpret and jax.default_backend() != "tpu":
         # Mosaic kernels only compile for TPU; fall back to the interpreter
         # on CPU meshes (tests, multi-chip dry runs)
@@ -262,13 +281,16 @@ def match_flow_fused(
     if want_marg:
         out_shape.append(
             jax.ShapeDtypeStruct((B, maxh, n_blocks * th, W), jnp.float32))
+    if want_conf:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32))
 
     # f2 rows overlap between adjacent grid steps (each block needs
     # th + maxh - 1 rows starting at i*th), which BlockSpec's block-unit
     # indexing cannot express — so f2 stays in HBM (ANY) and each program
     # DMAs its own overlapping slab into VMEM scratch. Grid: (batch, rows).
     def kernel_dma_f2(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref,
-                      *maybe_marg):
+                      *maybe_extra):
         b = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -282,8 +304,10 @@ def match_flow_fused(
             _fused_kernel(f1_ref.at[0], slab,
                           idx_ref.at[0], py_ref.at[0], px_ref.at[0],
                           pmax_ref.at[0],
-                          maybe_marg[0].at[0] if maybe_marg else None,
-                          maxh=maxh, maxw=maxw, mid=mid, th=th)
+                          maybe_extra[0].at[0] if want_marg else None,
+                          maybe_extra[0].at[0] if want_conf else None,
+                          maxh=maxh, maxw=maxw, mid=mid, th=th,
+                          conf_threshold=conf_threshold)
         pl.run_scoped(
             body,
             pltpu.VMEM((K, slab_rows, W2), dtype),
@@ -298,6 +322,10 @@ def match_flow_fused(
     if want_marg:
         out_specs.append(
             pl.BlockSpec((1, maxh, th, W), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM))
+    if want_conf:
+        out_specs.append(
+            pl.BlockSpec((1, th, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(B, n_blocks),

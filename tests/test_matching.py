@@ -275,3 +275,35 @@ def test_fast_kernel_large_magnitude_features():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(p_fast), np.asarray(p_ref),
                                atol=1e-3)
+
+
+def test_fused_conf_gate_matches_marginal_extraction():
+    """want_conf=True appends the 'mean'-head confidence gate computed
+    in-kernel; it must equal confidences_from_marginal on the want_marg
+    output (the extract_output score is > 0 iff any marginal entry clears
+    the threshold — all rank weights are positive)."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu.ops import extract
+    maxh, maxw = 6, 4
+    rng = np.random.RandomState(11)
+    H, W, K = 9, 12, 5
+    # small feature magnitudes -> soft distributions that straddle the
+    # threshold (both gate outcomes exercised)
+    f1 = (0.3 * rng.randn(H, W, K)).astype(np.float32)
+    f2 = (0.3 * rng.randn(H + maxh - 1, W + maxw - 1, K)).astype(np.float32)
+    wants = []
+    for thr in (0.11, 0.2):
+        idx, ey, ex, pmax, marg = matching.match_flow_fused(
+            jnp.asarray(f1), jnp.asarray(f2), maxh, maxw, 4, True, True)
+        want = np.asarray(extract.confidences_from_marginal(
+            jnp.moveaxis(jnp.asarray(marg), 0, -1), thr))
+        outs = matching.match_flow_fused(
+            jnp.asarray(f1), jnp.asarray(f2), maxh, maxw, 4, True, False,
+            jnp.float32, True, thr)
+        conf = np.asarray(outs[4])
+        assert conf.shape == (H, W)
+        assert set(np.unique(conf)) <= {0.0, 1.0}
+        np.testing.assert_array_equal(conf > 0.5, want)
+        wants.append(want)
+    # both outcomes exercised somewhere across the thresholds
+    assert any(0 < w.sum() < w.size for w in wants)

@@ -44,7 +44,11 @@ def timed(fn, n, per):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    # B=32 is the measured-best dispatch size on one v5e chip: the 4-tap
+    # feature gathers (parity warp, LK windows) cost MORE per pair at B=64
+    # (fast 504 -> 439 fps, parity 199 -> 110 fps) — gather issue rate does
+    # not scale with batch the way the matmul stages do
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--head", default="mean", choices=("mean", "max"))
     ap.add_argument("--dtype", default="bfloat16",
                     choices=("float32", "bfloat16"),

@@ -60,7 +60,12 @@ def main():
                          "compensation (gather-free), ego-motion on a "
                          "2x-downsampled frame, 6 LK iterations (accuracy "
                          "deltas tested; see BatchedDepthEstimator)")
+    ap.add_argument("--warp-banded", action="store_true",
+                    help="parity knobs but the gather-free banded shift-sum "
+                         "warp (exact within the search margin, band-masked "
+                         "beyond; reference stage order preserved)")
     args = ap.parse_args()
+    assert not (args.fast and args.warp_banded)
 
     from depth_estimation_tpu.api_batched import BatchedDepthEstimator
     from depth_estimation_tpu.geometry import Geometry
@@ -80,7 +85,8 @@ def main():
         g, params, ARDRONE, head=args.head,
         match_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         warp_dtype=jnp.bfloat16 if args.fast else None,
-        compensation="decode" if args.fast else "warp",
+        compensation=("decode" if args.fast
+                      else "warp_banded" if args.warp_banded else "warp"),
         lk_iters=5 if args.fast else 10,
         ransac_samples=48 if args.fast else 64,
         state_dtype=jnp.bfloat16 if args.fast else None,
@@ -123,7 +129,9 @@ def main():
     # two keys: the parity path (reference's exact warp-then-match order)
     # and the fast path (decode-side compensation etc. — all stages still
     # computed, formulations/precision differ as documented + tested)
-    key = "full_pipeline_fps" if args.fast else "full_pipeline_parity_fps"
+    key = ("full_pipeline_fps" if args.fast
+           else "full_pipeline_warp_banded_fps" if args.warp_banded
+           else "full_pipeline_parity_fps")
     results[key] = round(fps, 1)
     with open(path, "w") as f:
         json.dump(results, f, indent=1)

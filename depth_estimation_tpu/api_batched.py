@@ -13,7 +13,10 @@ TPU batching notes (benchmarks/profile_full_pipeline.py):
   * ego-motion's windowed ops use the batch-LAST layouts of
     geometry3d/egomotion.py; LK patch sampling is batched MXU matmuls;
   * the per-item feature warps use the flat take_along_axis gather
-    (undistort.remove_ego_motion_batched) — a vmapped 2-D gather measured
+    (undistort.remove_ego_motion_batched), or the gather-free banded
+    shift-sum warp (compensation='warp_banded',
+    undistort.remove_ego_motion_banded — exact within the search margin,
+    band-masked beyond, ~7x faster) — a vmapped 2-D gather measured
     6.2 ms/pair on the 10-channel feature maps, the flat form replaces it;
   * the warp-validity mask is computed analytically (pure range test on the
     homography grid, undistort.ego_motion_valid_mask) instead of warping a
@@ -50,7 +53,7 @@ class BatchedDepthEstimator:
                  warp_dtype=None, ego_downsample: int = 1,
                  compensation: str = "warp", lk_iters: int = 10,
                  ransac_samples: int = 64, state_dtype=None,
-                 match_block: int = 8):
+                 match_block: int = 8, warp_band: int = 8):
         """Throughput knobs (all off by default = the parity path):
           * match_dtype / warp_dtype: bf16 feature storage in the fused
             matcher / the rotation-compensation gather (inference-only
@@ -72,7 +75,13 @@ class BatchedDepthEstimator:
             (|delta| eats window range; such frames fail the inlier gate
             anyway) and indexes the field at p instead of h^-1(p) (a
             sub-pixel attribution shift for small rotations). Agreement
-            with 'warp' on small rotations is tested;
+            with 'warp' on small rotations is tested; 'warp_banded' = the
+            same warp-then-match order through the gather-free banded
+            shift-sum warp (undistort.remove_ego_motion_banded): output
+            values are EXACT (not approximated) wherever the rotation
+            displacement stays within the matcher's search margin, and
+            pixels beyond it are masked — the same coverage cost decode
+            mode pays, at the reference's stage order;
           * lk_iters: per-level LK iterations (10 = the parity default);
           * ransac_samples: essential-RANSAC sample count (64 = parity);
           * state_dtype: storage type of the on-device stream state
@@ -82,7 +91,7 @@ class BatchedDepthEstimator:
         """
         geometry.validate()
         assert head in ("mean", "max")
-        assert compensation in ("warp", "decode")
+        assert compensation in ("warp", "warp_banded", "decode")
         assert ego_downsample in (1, 2, 4)
         self.geometry = geometry
         self.params = params
@@ -142,6 +151,12 @@ class BatchedDepthEstimator:
                 warped = undist.remove_ego_motion_batched(
                     last_feats, Ks, R, dtype=warp_dtype)
                 wmask = undist.ego_motion_valid_mask(Ks, R, Hf, Wf)
+                f1 = flow_model.crop_features_center(g, warped)
+            elif compensation == "warp_banded":
+                warped = undist.remove_ego_motion_banded(
+                    last_feats, Ks, R, band=warp_band)
+                wmask = undist.ego_motion_valid_mask(
+                    Ks, R, Hf, Wf, band=warp_band)
                 f1 = flow_model.crop_features_center(g, warped)
             else:
                 # gather-free: match unwarped features; the analytic

@@ -234,7 +234,9 @@ def track_lk_windowed(
             x0 = jnp.floor(lx)
             # (win+1) consecutive window rows/cols via TINY one-hot matmuls
             # on the cached (S, S) window (minor-dim gathers are
-            # pathological even at this size)
+            # pathological even at this size; a banded static-shift
+            # selection — _subwindow_banded — is pathological to COMPILE
+            # under vmap inside this fori_loop: >10 min XLA time)
             kk = jnp.arange(win + 1, dtype=jnp.int32)
             Ry2 = _axis_onehot_int(
                 y0.astype(jnp.int32)[:, None] + kk[None], search)

@@ -183,6 +183,46 @@ def test_throughput_knobs_agree_with_parity_path():
     assert diff.mean() < 0.5, diff.mean()
 
 
+def test_warp_banded_agrees_with_warp():
+    """compensation='warp_banded' runs the reference's warp-then-match
+    order through the gather-free banded warp: on in-band rotations the
+    warped features are EXACT, so flow/mask/good must match the strict
+    warp path (identical R estimate — same ego stage — and identical
+    matcher inputs up to f32 accumulation order)."""
+    rng = np.random.RandomState(9)
+    h, w = 96, 128
+    cal = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="t3", wImg=w, hImg=h,
+        fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+        sfm=dataclasses.replace(calmod.RECTIFIED_GOPRO_SMALL.sfm,
+                                max_points=128))
+    g = Geometry(hImg=h, wImg=w, layers=((3, 5, 5, 8),), maxh=6, maxw=6)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(1))
+
+    B = 2
+    f1s, f2s = [], []
+    for b in range(B):
+        img = _texture(rng, h, w)
+        f1s.append(img)
+        f2s.append(np.roll(img, -(1 + b), axis=1))
+    frames1 = jnp.asarray(np.stack(f1s))
+    frames2 = jnp.asarray(np.stack(f2s))
+
+    ref = api.BatchedDepthEstimator(g, params, cal)
+    ref.reset(frames1)
+    xf0, m0, _, good0 = (np.asarray(a) for a in ref.next_frames(frames2))
+
+    banded = api.BatchedDepthEstimator(g, params, cal,
+                                       compensation="warp_banded")
+    banded.reset(frames1)
+    xf1, m1, _, good1 = (np.asarray(a) for a in banded.next_frames(frames2))
+
+    np.testing.assert_array_equal(good0, good1)
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_allclose(xf1, xf0, atol=1e-3)
+
+
 def test_batched_stream_multi_step():
     """BatchedDepthEstimator over a 4-frame stream: device state chains
     (each step matches against the PREVIOUS frame's features), so a

@@ -83,6 +83,50 @@ def test_remove_ego_motion_identity_rotation():
     np.testing.assert_allclose(out, img, atol=1e-5)
 
 
+def _rot(ax, ay, az):
+    cx, sx = math.cos(ax), math.sin(ax)
+    cy, sy = math.cos(ay), math.sin(ay)
+    cz, sz = math.cos(az), math.sin(az)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (Rx @ Ry @ Rz).astype(np.float32)
+
+
+def test_remove_ego_motion_banded_matches_gather():
+    """The banded shift-sum warp must EQUAL the gather warp wherever the
+    rotation displacement stays within the band (it is the same bilinear
+    tensor product, just summed over static shifts), and zero + mask-
+    excluded beyond it."""
+    rng = np.random.RandomState(7)
+    B, H, W, C = 3, 40, 56, 4
+    imgs = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32)
+    # small rotations: displacement well inside band=8
+    R = jnp.asarray(np.stack([
+        _rot(0.004, -0.006, 0.003),
+        _rot(-0.008, 0.005, -0.002),
+        np.eye(3, dtype=np.float32)]))
+    ref = np.asarray(undistort.remove_ego_motion_batched(imgs, K, R))
+    out = np.asarray(undistort.remove_ego_motion_banded(imgs, K, R, band=8))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # mask variant agrees with the plain one when nothing exceeds the band
+    m0 = np.asarray(undistort.ego_motion_valid_mask(K, R, H, W))
+    m1 = np.asarray(undistort.ego_motion_valid_mask(K, R, H, W, band=8))
+    np.testing.assert_array_equal(m0, m1)
+
+    # a big yaw: some pixels displace beyond the band -> zero + masked out
+    Rbig = jnp.asarray(np.stack([_rot(0.0, 0.08, 0.0)] * B))
+    refb = np.asarray(undistort.remove_ego_motion_batched(imgs, K, Rbig))
+    outb = np.asarray(undistort.remove_ego_motion_banded(
+        imgs, K, Rbig, band=8))
+    mb = np.asarray(undistort.ego_motion_valid_mask(K, Rbig, H, W, band=8))
+    assert 0 < mb.mean() < 1.0, mb.mean()  # both regimes present
+    inb = mb > 0.5
+    np.testing.assert_allclose(outb[inb], refb[inb], atol=2e-5)
+    np.testing.assert_array_equal(outb[~inb], np.zeros_like(outb[~inb]))
+
+
 def synthetic_scene(n, R, T, K, seed=0):
     """Random 3D points in front of both cameras, projected to both views."""
     rng = np.random.RandomState(seed)

@@ -173,17 +173,18 @@ def track_lk_windowed(
     img1: jnp.ndarray, img2: jnp.ndarray, pts: jnp.ndarray,
     win: int = 15, n_levels: int = 3, n_iters: int = 10, search: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Faster LK with window caching: per pyramid level the template and
-    the search image are gathered ONCE per point into integer-aligned
-    windows (flat row+column gathers); every bilinear (re)sample is then a
-    per-point 4-TAP COMBINE at a uniform fractional offset — the patch grid
-    is integer, so full interpolation matrices are unnecessary. This
-    removes all of track_lk's big per-iteration (N, win, H) @ (H, W)
-    matmuls (~14 GFLOP/pair at 320x180, N=400) for identical math whenever
-    the residual motion at each level stays within (search - win)/2 px
-    (larger motions clamp at the window edge and get rejected by the same
-    border-status test). Track agreement with track_lk is pinned by
-    tests/test_egomotion.py."""
+    """Faster LK with window caching + correlation surfaces: per pyramid
+    level the template and the search image are gathered ONCE per point
+    into integer-aligned windows; the Gauss-Newton iteration then runs on
+    two per-point CROSS-CORRELATION surfaces (window x template-gradient,
+    one depthwise conv per level) — bilinear resampling commutes with the
+    fixed-weight inner products the update needs, so each iteration is a
+    2-tap-per-axis sample of a (P, P) surface: only (N,)-sized math in the
+    loop, no per-iteration window extraction at all. Identical math to
+    track_lk whenever the residual motion at each level stays within
+    (search - win)/2 px (larger motions clamp at the window edge and get
+    rejected by the same border-status test). Track agreement with
+    track_lk is pinned by tests/test_egomotion.py."""
     g1 = _to_gray(jnp.asarray(img1))
     g2 = _to_gray(jnp.asarray(img2))
     from ..models.multiscale import avg_downsample
@@ -224,32 +225,59 @@ def track_lk_windowed(
         by = jnp.floor(c0[:, 1]).astype(jnp.int32) - search // 2
         wnd = _gather_window(i2, by, bx, search)            # (N, S, S)
 
+        # Gauss-Newton only consumes the window through the two inner
+        # products  b1 = sum_ij (w(d) - t)[1+i,1+j] * tx[i,j]  (and ty):
+        # bilinear resampling commutes with this fixed-weight sum, so
+        # sum_ij w(d)[1+i,1+j]*tx[i,j] is EXACTLY the bilinear sample at
+        # (ly+1, lx+1) of the cross-correlation surface
+        #   corr_x(p, q) = sum_ij wnd[p+i, q+j] * tx[i, j],
+        # computed ONCE per level as a per-point depthwise conv (MXU) —
+        # the per-iteration loop then touches only (N,)-sized tensors.
+        # (The previous form re-extracted a (win+1)^2 sub-window via
+        # one-hot matmuls every iteration — ~3% MXU utilization, 30x per
+        # track; a banded static-shift extraction was tried and is
+        # pathological to COMPILE: >10 min XLA under vmap in this loop.)
+        kw = win - 2                                        # 13: interior
+        P = search - kw + 1                                 # corr positions
+        dn = jax.lax.conv_dimension_numbers(
+            (1, 1, search, search), (1, 1, kw, kw), ("NCHW", "OIHW", "NCHW"))
+        N = wnd.shape[0]
+
+        def corr_with(k):
+            # wnd as N feature groups of one channel; per-point kernels
+            out = jax.lax.conv_general_dilated(
+                wnd[None], k[:, None], (1, 1), "VALID",
+                dimension_numbers=dn, feature_group_count=N,
+                precision=jax.lax.Precision.HIGHEST)
+            return out[0]                                   # (N, P, P)
+        corr_x = corr_with(tx)
+        corr_y = corr_with(ty)
+        t_in = t[:, 1:-1, 1:-1]
+        tdx = (t_in * tx).sum((1, 2))                       # (N,)
+        tdy = (t_in * ty).sum((1, 2))
+        lim = float(search - win - 1)
+
         def body(_, dcur):
-            # local continuous top-left of the patch within the window
-            ly = (p_lvl[:, 1] + dcur[:, 1] / scale - half
-                  - by.astype(jnp.float32))
-            lx = (p_lvl[:, 0] + dcur[:, 0] / scale - half
-                  - bx.astype(jnp.float32))
-            y0 = jnp.floor(ly)
-            x0 = jnp.floor(lx)
-            # (win+1) consecutive window rows/cols via TINY one-hot matmuls
-            # on the cached (S, S) window (minor-dim gathers are
-            # pathological even at this size; a banded static-shift
-            # selection — _subwindow_banded — is pathological to COMPILE
-            # under vmap inside this fori_loop: >10 min XLA time)
-            kk = jnp.arange(win + 1, dtype=jnp.int32)
-            Ry2 = _axis_onehot_int(
-                y0.astype(jnp.int32)[:, None] + kk[None], search)
-            Cx2 = _axis_onehot_int(
-                x0.astype(jnp.int32)[:, None] + kk[None], search)
-            rows = jax.lax.dot_general(
-                Ry2, wnd, (((2,), (1,)), ((0,), (0,))))     # (N, w+1, S)
-            sub = jax.lax.dot_general(
-                rows, Cx2, (((2,), (2,)), ((0,), (0,))))    # (N, w+1, w+1)
-            w = _bilin4(sub, ly - y0, lx - x0)              # (N, win, win)
-            err = (w - t)[:, 1:-1, 1:-1]
-            b1 = (err * tx).sum((1, 2))
-            b2 = (err * ty).sum((1, 2))
+            # continuous top-left of the patch within the window, clamped
+            # into the representable band (points whose estimate escapes
+            # the search window degrade to an edge-clamped sample; the
+            # matmul form replicate-clamped rows instead — identical for
+            # in-window motion, both garbage->border-rejected beyond)
+            ly = jnp.clip(p_lvl[:, 1] + dcur[:, 1] / scale - half
+                          - by.astype(jnp.float32), 0.0, lim)
+            lx = jnp.clip(p_lvl[:, 0] + dcur[:, 0] / scale - half
+                          - bx.astype(jnp.float32), 0.0, lim)
+            # bilinear sample of the corr surfaces via 2-hot axis weights
+            oy = _axis_weights(ly + 1.0, P)                 # (N, P)
+            ox = _axis_weights(lx + 1.0, P)
+            cyx = jnp.einsum("npq,nq->np", corr_x, ox,
+                             precision=jax.lax.Precision.HIGHEST)
+            b1 = jnp.einsum("np,np->n", cyx, oy,
+                            precision=jax.lax.Precision.HIGHEST) - tdx
+            cyy = jnp.einsum("npq,nq->np", corr_y, ox,
+                             precision=jax.lax.Precision.HIGHEST)
+            b2 = jnp.einsum("np,np->n", cyy, oy,
+                            precision=jax.lax.Precision.HIGHEST) - tdy
             ddx = -(a22 * b1 - a12 * b2) / jnp.maximum(det, 1e-8)
             ddy = -(-a12 * b1 + a11 * b2) / jnp.maximum(det, 1e-8)
             return dcur + jnp.stack([ddx, ddy], -1) * scale

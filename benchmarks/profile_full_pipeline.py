@@ -88,6 +88,14 @@ def main():
     print(f"warp features (flat gather): {timed(lambda: warp(feats1, em.R))*1e3/B:.3f} ms/pair", flush=True)
 
     @jax.jit
+    def warp_banded(feats, R):
+        return (undist.remove_ego_motion_banded(feats, Ks, R, band=8),
+                undist.ego_motion_valid_mask(Ks, R, feats.shape[1],
+                                             feats.shape[2], band=8))
+    wb, _ = warp_banded(feats1, em.R)
+    print(f"warp features (banded):      {timed(lambda: warp_banded(feats1, em.R))*1e3/B:.3f} ms/pair", flush=True)
+
+    @jax.jit
     def match(w, feats2):
         f1 = crop_features_center(g, w)
         return matching.match_flow_fused(f1, feats2, g.maxh, g.maxw, 8,

@@ -154,7 +154,7 @@ class BatchedDepthEstimator:
                 f1 = flow_model.crop_features_center(g, warped)
             elif compensation == "warp_banded":
                 warped = undist.remove_ego_motion_banded(
-                    last_feats, Ks, R, band=warp_band)
+                    last_feats, Ks, R, band=warp_band, dtype=warp_dtype)
                 wmask = undist.ego_motion_valid_mask(
                     Ks, R, Hf, Wf, band=warp_band)
                 f1 = flow_model.crop_features_center(g, warped)

@@ -546,7 +546,11 @@ def get_ego_motion_from_matches(pts1, pts2, valid, K, n_samples: int = 64,
 @functools.partial(jax.jit, static_argnums=(3,))
 def _ego_motion_jit(img1, img2, K, max_points: int, quality, key) -> EgoMotion:
     pts, pvalid = good_features_to_track(img1, max_points, quality)
-    pts2, status = track_lk(img1, img2, pts)
+    # window-cached tracker: OpenCV's calcOpticalFlowPyrLK (the reference's
+    # actual dependency, sfm2) also iterates inside a window around the
+    # current estimate — the full-image-resample track_lk stays for the
+    # offline loaders where inter-frame motion is unbounded
+    pts2, status = track_lk_windowed(img1, img2, pts)
     valid = pvalid & status
     return get_ego_motion_from_matches(pts, pts2, valid, K, key=key)
 

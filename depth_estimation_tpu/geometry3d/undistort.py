@@ -121,9 +121,9 @@ def remove_ego_motion_batched(imgs: jnp.ndarray, K, R,
     return out * ok[..., None]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def remove_ego_motion_banded(imgs: jnp.ndarray, K, R,
-                             band: int = 8) -> jnp.ndarray:
+                             band: int = 8, dtype=None) -> jnp.ndarray:
     """remove_ego_motion_batched without the gather: the warp displacement
     |K R K^-1 p - p| of frame-to-frame rotation compensation is bounded by
     the matcher's search margin on every frame the pipeline keeps, so the
@@ -143,10 +143,15 @@ def remove_ego_motion_banded(imgs: jnp.ndarray, K, R,
     ego_motion_valid_mask(..., band=band) downstream) — the same pixels the
     matcher cannot range over anyway (band defaults to the 16x16 window's
     margin), and big-rotation frames already fail the inlier gate.
-    imgs (B, H, W, C), R (B, 3, 3).
+    imgs (B, H, W, C), R (B, 3, 3). ``dtype``: optional storage type for
+    the shifted image reads (bf16 halves the slab traffic; hat weights and
+    the accumulator stay f32 — the same inference-only precision option as
+    the gather warp's).
     """
     B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     D = band
+    if dtype is not None:
+        imgs = imgs.astype(dtype)
     xs, ys = homography_grid(K, R, H, W)                # (B, H, W)
     jj = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     ii = jnp.arange(H, dtype=jnp.float32)[None, :, None]
@@ -155,10 +160,10 @@ def remove_ego_motion_banded(imgs: jnp.ndarray, K, R,
     P = D + 1
     pad = jnp.pad(imgs, ((0, 0), (P, P), (P, P), (0, 0)))
     C = imgs.shape[3]
-    out = jnp.zeros_like(imgs)
+    out = jnp.zeros(imgs.shape, jnp.float32)
     for s in range(-D, D + 2):
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyf - s))
-        row = jnp.zeros_like(imgs)
+        row = jnp.zeros(imgs.shape, jnp.float32)
         for t in range(-D, D + 2):
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxf - t))
             sl = jax.lax.slice(pad, (0, s + P, t + P, 0),

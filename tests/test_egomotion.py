@@ -110,6 +110,11 @@ def test_remove_ego_motion_banded_matches_gather():
     ref = np.asarray(undistort.remove_ego_motion_batched(imgs, K, R))
     out = np.asarray(undistort.remove_ego_motion_banded(imgs, K, R, band=8))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+    # bf16 storage option: f32 weights/accumulation, read-rounding only
+    out16 = np.asarray(undistort.remove_ego_motion_banded(
+        imgs, K, R, band=8, dtype=jnp.bfloat16))
+    assert out16.dtype == np.float32
+    np.testing.assert_allclose(out16, ref, atol=6e-3)
     # mask variant agrees with the plain one when nothing exceeds the band
     m0 = np.asarray(undistort.ego_motion_valid_mask(K, R, H, W))
     m1 = np.asarray(undistort.ego_motion_valid_mask(K, R, H, W, band=8))

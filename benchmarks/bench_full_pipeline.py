@@ -91,7 +91,9 @@ def main():
         ransac_samples=48 if args.fast else 64,
         state_dtype=jnp.bfloat16 if args.fast else None,
         ego_downsample=2 if args.fast else 1,
-        match_block=32 if args.fast else 8)
+        # pure blocking factor (outputs identical, tested); 32 rows/block
+        # measured fastest at this shape in every mode
+        match_block=32)
 
     rng = np.random.RandomState(0)
     # textured frames (Shi-Tomasi needs corners; pure noise would track

@@ -277,6 +277,24 @@ def test_fast_kernel_large_magnitude_features():
                                atol=1e-3)
 
 
+def test_fused_block_rows_is_pure_blocking():
+    """block_rows only tiles the row grid — every output must be identical
+    across block sizes (the benches rely on this to run block 32)."""
+    import jax.numpy as jnp
+    maxh, maxw = 6, 4
+    rng = np.random.RandomState(13)
+    H, W, K = 40, 24, 5
+    f1 = rng.randn(H, W, K).astype(np.float32)
+    f2 = rng.randn(H + maxh - 1, W + maxw - 1, K).astype(np.float32)
+    ref = matching.match_flow_fused(jnp.asarray(f1), jnp.asarray(f2),
+                                    maxh, maxw, 4, True)
+    for block in (8, 32, 64):
+        out = matching.match_flow_fused(jnp.asarray(f1), jnp.asarray(f2),
+                                        maxh, maxw, block, True)
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_conf_gate_matches_marginal_extraction():
     """want_conf=True appends the 'mean'-head confidence gate computed
     in-kernel; it must equal confidences_from_marginal on the want_marg

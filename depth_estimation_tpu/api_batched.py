@@ -227,9 +227,24 @@ class BatchedDepthEstimator:
             return u, feats, xflow, mask, depth, good
 
         self._prep = _prep
+        self._prep_fn = _prep.__wrapped__          # unjitted (for sharding)
+        self._step_fn = _step                      # unjitted (for sharding)
         self._step = jax.jit(_step)
         self.last_u = None
         self.last_feats = None
+
+    def shard(self, mesh, axis: str = "dp") -> "BatchedDepthEstimator":
+        """Shard the stream batch across a device mesh: every stage of the
+        per-frame program (prep, ego-motion, compensation, fused match,
+        masks, depth) is per-stream, so the step partitions as pure dp —
+        shard_map splits the leading batch dim, state stays sharded on
+        device between steps, and no collective is needed. Returns self;
+        reset/next_frames keep their API. Batch must be divisible by the
+        mesh axis size."""
+        from .parallel import mesh as pmesh
+        self._prep = pmesh.sharded_pipeline_prep(self, mesh, axis)
+        self._step = pmesh.sharded_pipeline_step(self, mesh, axis)
+        return self
 
     def reset(self, first_frames) -> None:
         self.last_u, self.last_feats = self._prep(

@@ -629,11 +629,16 @@ def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
         lambda a, b, p: track_lk_windowed(a, b, p, n_iters=lk_iters)
     )(imgs1, imgs2, pts)
     valid = pvalid & status
-    keys = jax.random.split(key, B)
+    del B
+    # ONE key shared across items (not split(key, B)): the RANSAC index
+    # draws land on different points anyway (per-item corner sets), and it
+    # makes results independent of how the batch is sliced — a dp-sharded
+    # step (parallel.mesh.sharded_pipeline_step) computes bitwise the same
+    # ego-motion as the unsharded one.
     return jax.vmap(
-        lambda p1, p2, v, k: get_ego_motion_from_matches(
-            p1, p2, v, K, n_samples, key=k)
-    )(pts, pts2, valid, keys)
+        lambda p1, p2, v: get_ego_motion_from_matches(
+            p1, p2, v, K, n_samples, key=key)
+    )(pts, pts2, valid)
 
 
 def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,

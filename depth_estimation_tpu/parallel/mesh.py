@@ -125,6 +125,39 @@ def sharded_flow_fn(model, mesh: Mesh, axis: str = "dp"):
     return jax.jit(mapped)
 
 
+def sharded_pipeline_prep(est, mesh: Mesh, axis: str = "dp"):
+    """dp-sharded form of BatchedDepthEstimator's frame prep (normalize /
+    resize / undistort / conv trunk): frames split on the leading stream
+    dim, params replicated. Pairs with sharded_pipeline_step — together
+    they run the COMPLETE per-frame online program over the mesh with the
+    stream state living sharded on device between steps."""
+    mapped = jax.shard_map(
+        est._prep_fn, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_pipeline_step(est, mesh: Mesh, axis: str = "dp"):
+    """dp-sharded BatchedDepthEstimator._step: every stage of the online
+    per-frame program (undistort -> ego-motion -> rotation compensation ->
+    fused match -> masks -> depth) is per-stream, so the whole step
+    partitions as pure data parallelism — shard_map splits the stream
+    batch, each device runs its own Pallas matcher + ego pipeline on its
+    local shard, and no collective is emitted (use jax.debug or the
+    compiled HLO to confirm). Stream state (previous frames + features)
+    stays sharded between steps."""
+    mapped = jax.shard_map(
+        est._step_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def spatial_sharded_multiscale_fn(model, mesh: Mesh, axis: str = "sp"):
     """Row-sharded MULTISCALE full-image forward: ONE frame pair split
     across devices along image rows, each device computing its row slice of

@@ -160,3 +160,47 @@ def test_spatial_sharded_radial_matches_unsharded(mesh8):
 
     np.testing.assert_array_equal(np.asarray(flow_s), flow_u)
     np.testing.assert_allclose(np.asarray(cost_s), cost_u, atol=1e-5)
+
+
+def test_dp_sharded_full_pipeline_matches_unsharded(mesh8):
+    """The COMPLETE per-frame online program (prep -> ego-motion ->
+    compensation -> fused match -> masks -> depth), dp-sharded over the
+    mesh via BatchedDepthEstimator.shard: stream state lives sharded
+    between steps and every output must match the unsharded step bitwise
+    (ego RANSAC uses one shared key, so results are independent of how
+    the batch is sliced)."""
+    import dataclasses
+    from depth_estimation_tpu import api_batched as api
+    from depth_estimation_tpu.geometry3d import calibration as calmod
+
+    rng = np.random.RandomState(11)
+    h, w = 48, 64
+    cal = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="tp", wImg=w, hImg=h,
+        fx=60.0, fy=60.0, cx=w / 2, cy=h / 2,
+        sfm=dataclasses.replace(calmod.RECTIFIED_GOPRO_SMALL.sfm,
+                                max_points=64))
+    g = Geometry(hImg=h, wImg=w, layers=((3, 5, 5, 6),), maxh=4, maxw=4)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(1))
+
+    B = 8
+    base = rng.rand(B, h // 4, w // 4).astype(np.float32)
+    f1 = np.asarray(jax.image.resize(jnp.asarray(base), (B, h, w),
+                                     "bilinear"))
+    f1 = np.repeat(f1[..., None], 3, axis=-1)
+    f2 = np.roll(f1, -1, axis=2)
+    frames1 = jnp.asarray(f1)
+    frames2 = jnp.asarray(f2)
+
+    ref = api.BatchedDepthEstimator(g, params, cal)
+    ref.reset(frames1)
+    out_ref = [np.asarray(a) for a in ref.next_frames(frames2)]
+
+    m = pmesh.make_mesh(jax.devices(), axis="dp")
+    sh = api.BatchedDepthEstimator(g, params, cal).shard(m)
+    sh.reset(frames1)
+    out_sh = [np.asarray(a) for a in sh.next_frames(frames2)]
+
+    for a, b in zip(out_ref, out_sh):
+        np.testing.assert_array_equal(a, b)

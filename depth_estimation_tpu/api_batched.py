@@ -262,21 +262,24 @@ class BatchedDepthEstimator:
 
 
 def make_batched_pipeline(geometry: Geometry, cal: Calibration,
-                          head: str = "mean", match_dtype=jnp.float32):
+                          head: str = "mean", match_dtype=jnp.float32,
+                          **knobs):
     """Independent-PAIRS form of the batched pipeline: a jitted
     ``fn(params, frames1, frames2) -> (xflow, mask, depth, good)`` that
     preps both frames of every pair (the offline / dataset regime —
     streaming callers should use ``BatchedDepthEstimator``, which preps one
     frame per step like the reference's online loop). Shapes: frames
     (B, h, w, 3) any input resolution; outputs (B, hImg, wImg) + good (B,).
+    ``knobs`` pass through to BatchedDepthEstimator (compensation,
+    warp_band, lk_iters, ... — same accuracy contracts).
     """
     est = BatchedDepthEstimator(geometry, None, cal, head=head,
-                                match_dtype=match_dtype)
+                                match_dtype=match_dtype, **knobs)
 
     @jax.jit
     def pipeline(params, frames1, frames2):
         last_u, last_feats = est._prep(params, frames1)
-        _, _, xflow, mask, depth, good = est._step.__wrapped__(
+        _, _, xflow, mask, depth, good = est._step_fn(
             params, last_u, last_feats, frames2)
         return xflow, mask, depth, good
 

@@ -2,9 +2,9 @@
 (api.make_batched_pipeline) and its batched building blocks must agree with
 the per-frame path (DepthEstimator._step) they amortize.
 
-Keys differ between the two paths (the batched RANSAC splits one key per
-pair), so agreement is physical (recovered motion, flow, masks), not
-bitwise."""
+Program structures differ between the two paths (batched vs per-frame
+f32 accumulation orders), so agreement is physical (recovered motion,
+flow, masks), not bitwise."""
 
 import dataclasses
 
@@ -115,8 +115,9 @@ def test_batched_pipeline_agrees_with_step():
         sel = (mask[b] > 0) & (mask_s > 0)
         assert sel.mean() > 0.2, sel.mean()
         # same flow wherever both paths kept the pixel — robust comparison:
-        # the two paths use different trackers (windowed vs full LK) and
-        # RANSAC keys, so R differs by a hair and a few border pixels move
+        # f32 accumulation orders differ between the batched and
+        # single-frame programs, so R differs by a hair and a few border
+        # pixels move
         diff = np.abs(xflow[b][sel] - xf_s[sel])
         assert np.median(diff) < 0.1, np.median(diff)
         assert np.percentile(diff, 95) < 0.5, np.percentile(diff, 95)
@@ -256,3 +257,35 @@ def test_batched_stream_multi_step():
         # window range would leak into the flow as a large bias
         med = np.median(xf[0][sel[0]])
         assert abs(med) < 0.75, (k, med)
+
+
+def test_make_batched_pipeline_knob_passthrough():
+    """make_batched_pipeline(**knobs) must reach the estimator: the
+    warp_banded pairs pipeline agrees with the default (in-band rotations
+    -> exact warp values), and an unknown knob raises."""
+    rng = np.random.RandomState(21)
+    h, w = 64, 80
+    cal = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="t4", wImg=w, hImg=h,
+        fx=80.0, fy=80.0, cx=w / 2, cy=h / 2,
+        sfm=dataclasses.replace(calmod.RECTIFIED_GOPRO_SMALL.sfm,
+                                max_points=96))
+    g = Geometry(hImg=h, wImg=w, layers=((3, 5, 5, 8),), maxh=6, maxw=6)
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(2))
+    img = _texture(rng, h, w)
+    frames1 = jnp.asarray(img[None])
+    frames2 = jnp.asarray(np.roll(img, -2, axis=1)[None])
+
+    ref = api.make_batched_pipeline(g, cal)
+    banded = api.make_batched_pipeline(g, cal, compensation="warp_banded")
+    xf0, m0, _, g0 = (np.asarray(a) for a in ref(params, frames1, frames2))
+    xf1, m1, _, g1 = (np.asarray(a) for a in banded(params, frames1,
+                                                    frames2))
+    np.testing.assert_array_equal(g0, g1)
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_allclose(xf1, xf0, atol=1e-3)
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        api.make_batched_pipeline(g, cal, not_a_knob=1)

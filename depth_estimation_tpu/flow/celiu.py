@@ -386,6 +386,31 @@ def _nsum(f: jnp.ndarray, w_w, w_e, w_n, w_s) -> jnp.ndarray:
     return w_w * left + w_e * right + w_n * up + w_s * down
 
 
+def _sor_xla(du, dv, w_w, w_e, w_n, w_s, denom_u, denom_v, b1, b2, imdxy,
+             *, alpha, n_sor: int, omega: float = 1.8):
+    """n_sor red-black SOR iterations as an XLA fori_loop (the general
+    form: any shape, any warm du/dv start). The update rule and in-place
+    scan order (red du, red dv, black du, black dv) mirror
+    OpticalFlow.cpp:381-427; sor_kernel.sor_pallas is the VMEM-resident
+    TPU form of the same sweep, equality-tested against this one."""
+    H, W = du.shape[-2:]
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    red = jnp.asarray((ii + jj) % 2 == 0)
+
+    def sor_iter(_, duv):
+        du, dv = duv
+        for color in (red, ~red):
+            s1 = -alpha * _nsum(du, w_w, w_e, w_n, w_s) + imdxy * dv
+            du_new = (1 - omega) * du + omega / denom_u * (b1 - s1)
+            du = jnp.where(color, du_new, du)
+            s2 = -alpha * _nsum(dv, w_w, w_e, w_n, w_s) + imdxy * du
+            dv_new = (1 - omega) * dv + omega / denom_v * (b2 - s2)
+            dv = jnp.where(color, dv_new, dv)
+        return du, dv
+
+    return jax.lax.fori_loop(0, n_sor, sor_iter, (du, dv))
+
+
 def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
                     n_outer: int, n_inner: int, n_sor: int,
                     noise_model: str = "lap", gm=None,
@@ -404,8 +429,6 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
     eps_psi = 1e-6
     omega = 1.8
     H, W = u.shape[-2:]
-    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    red = jnp.asarray((ii + jj) % 2 == 0)
 
     for count in range(n_outer):
         imdx, imdy, imdt = get_dxs(im1f, warp)
@@ -456,20 +479,22 @@ def smooth_flow_sor(im1f, im2f, warp, u, v, lap_para, alpha,
             denom_u = imdx2 + alpha * 0.05 + coeff
             denom_v = imdy2 + alpha * 0.05 + coeff
 
-            def sor_iter(_, duv):
-                du, dv = duv
-                for color in (red, ~red):
-                    s1 = -alpha * _nsum(du, w_w, w_e, w_n, w_s) \
-                        + imdxy * dv
-                    du_new = (1 - omega) * du + omega / denom_u * (b1 - s1)
-                    du = jnp.where(color, du_new, du)
-                    s2 = -alpha * _nsum(dv, w_w, w_e, w_n, w_s) \
-                        + imdxy * du
-                    dv_new = (1 - omega) * dv + omega / denom_v * (b2 - s2)
-                    dv = jnp.where(color, dv_new, dv)
-                return du, dv
-
-            du, dv = jax.lax.fori_loop(0, n_sor, sor_iter, (du, dv))
+            # n_inner == 1 everywhere the reference runs (its GT generator
+            # and test schedules): du/dv enter the sweep as zeros, so the
+            # whole n_sor-iteration red-black solve can run VMEM-resident
+            # (flow/sor_kernel.py) instead of re-reading all coefficient
+            # planes from HBM every iteration. With n_inner > 1 (warm
+            # du/dv) or levels too large for VMEM, keep the XLA loop.
+            from .sor_kernel import fits_vmem, sor_pallas
+            if (hh == 0 and jax.default_backend() == "tpu"
+                    and fits_vmem(H, W)):
+                du, dv = sor_pallas(w_w, w_e, w_n, w_s, denom_u, denom_v,
+                                    b1, b2, imdxy,
+                                    alpha=alpha, n_sor=n_sor, omega=omega)
+            else:
+                du, dv = _sor_xla(du, dv, w_w, w_e, w_n, w_s,
+                                  denom_u, denom_v, b1, b2, imdxy,
+                                  alpha=alpha, n_sor=n_sor, omega=omega)
 
         u = u + du
         v = v + dv

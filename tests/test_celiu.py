@@ -70,6 +70,38 @@ def test_redblack_sor_matches_sequential_fixed_point():
     np.testing.assert_allclose(np.asarray(dv), want_dv, atol=1e-4)
 
 
+def test_sor_pallas_matches_xla_loop():
+    """The VMEM-resident Pallas SOR sweep (flow/sor_kernel.py, interpret
+    mode here) equals the XLA fori_loop form — batched, at a shape that
+    exercises both sublane (H % 8 != 0) and lane (W % 128 != 0) padding."""
+    from depth_estimation_tpu.flow.sor_kernel import sor_pallas
+
+    rng = np.random.RandomState(3)
+    B, H, W = 2, 13, 22
+    phi = rng.rand(B, H, W).astype(np.float32) + 0.1
+    imdxy = (rng.rand(B, H, W).astype(np.float32) - 0.5) * 0.1
+    b1 = rng.randn(B, H, W).astype(np.float32)
+    b2 = rng.randn(B, H, W).astype(np.float32)
+    alpha = 0.3
+    w_w, w_e, w_n, w_s = celiu._neighbor_weights(jnp.asarray(phi))
+    coeff = alpha * (w_w + w_e + w_n + w_s)
+    denom_u = rng.rand(B, H, W).astype(np.float32) + 0.5 + coeff
+    denom_v = rng.rand(B, H, W).astype(np.float32) + 0.5 + coeff
+
+    want_du, want_dv = celiu._sor_xla(
+        jnp.zeros((B, H, W)), jnp.zeros((B, H, W)),
+        w_w, w_e, w_n, w_s, denom_u, denom_v, b1, b2, imdxy,
+        alpha=alpha, n_sor=9)
+    got_du, got_dv = sor_pallas(
+        w_w, w_e, w_n, w_s, denom_u, denom_v, b1, b2, imdxy,
+        alpha=alpha, n_sor=9, interpret=True)
+    assert got_du.shape == (B, H, W)
+    np.testing.assert_allclose(np.asarray(got_du), np.asarray(want_du),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv),
+                               atol=1e-5)
+
+
 def test_zero_motion_gives_zero_flow():
     rng = np.random.RandomState(1)
     im = rng.rand(40, 48, 1).astype(np.float32)

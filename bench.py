@@ -105,11 +105,21 @@ def _run():
         # but the norm-decomposed bf16 fast path measures ~1 px mean EPE
         # delta on TRAINED models — quality dossier — so the headline
         # benches what production would ship: fused bf16, 0.05 px delta).
-        # block_rows=32 measured fastest (0.240@8 / 0.229@32 / 0.306@48,
-        # 64 exceeds scoped VMEM at B=128).
-        idx, ey, ex, pmax = matching.match_flow_fused(
-            f1, f2, g.maxh, g.maxw, 32, False, False, jnp.bfloat16
-        )
+        # f16 STORAGE is the probe candidate (DE_TPU_BENCH_KERNEL/_DTYPE):
+        # same 2-byte loads, 10 mantissa bits — fast+f16 measures 0.0065 px
+        # on a trained model, so it's in-budget IF Mosaic runs it at bf16
+        # speed. block_rows=32 measured fastest (0.240@8 / 0.229@32 /
+        # 0.306@48, 64 exceeds scoped VMEM at B=128).
+        kern = os.environ.get("DE_TPU_BENCH_KERNEL", "fused")
+        dt = dict(bfloat16=jnp.bfloat16, float16=jnp.float16,
+                  float32=jnp.float32)[
+            os.environ.get("DE_TPU_BENCH_DTYPE", "bfloat16")]
+        if kern == "fast":
+            idx, ey, ex, pmax = matching.match_flow_fast(
+                f1, f2, g.maxh, g.maxw, 32, False, dt)
+        else:
+            idx, ey, ex, pmax = matching.match_flow_fused(
+                f1, f2, g.maxh, g.maxw, 32, False, False, dt)
         # depth from x-flow (translation magnitude m = 1)
         W = ex.shape[-1]
         cx = W / 2.0

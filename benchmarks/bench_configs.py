@@ -113,19 +113,24 @@ def main(only=None):
         # (streaming batch B3, staged fast decode — see decode_full_staged)
         g3 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
                       maxh=8, maxw=8, multiscale=True, ratios=(1, 2, 4))
-        # f32 staged decode: the bf16 decode measured 522 -> 610 fps but a
-        # TRAINED model's WTA-flow delta is 0.119 px mean (quality dossier)
-        # — over the repo's 0.1 px precision budget, so f32 is the default
-        # and bf16 stays an explicit opt-in (decode_dtype=jnp.bfloat16)
-        m3 = MultiscaleFlowModel(g3)
-        p3 = m3.init(jax.random.PRNGKey(0))
+        # Two IN-BUDGET staged decodes (<= 0.1 px trained-model WTA delta,
+        # quality dossier): f32 (exact) and f16 STORAGE (0.019 px — f16's
+        # 10 mantissa bits vs bf16's 7 at the same 2-byte traffic; the bf16
+        # decode measured 522 -> 610 fps but its 0.117 px delta is over
+        # budget, so it stays an explicit opt-in). Record the faster of the
+        # two in-budget options.
+        p3 = MultiscaleFlowModel(g3).init(jax.random.PRNGKey(0))
         B3 = 64
         c1m = jnp.broadcast_to(jnp.asarray(car1), (B3, 180, 320, 3))
         c2m = jnp.broadcast_to(jnp.asarray(car2), (B3, 180, 320, 3))
-        dt = timed(lambda: m3.decode_full_staged(p3, c1m, c2m), 10, B3)
-        results["config3_multiscale_fps"] = round(1 / dt, 1)
-        print(f"config 3 multiscale 3-level full-image (B={B3}): "
-              f"{dt*1e3:.2f} ms/frame -> {1/dt:.0f} fps", flush=True)
+        best = None
+        for label, dtype in (("f32", None), ("f16", jnp.float16)):
+            m3 = MultiscaleFlowModel(g3, decode_dtype=dtype)
+            dt = timed(lambda: m3.decode_full_staged(p3, c1m, c2m), 10, B3)
+            print(f"config 3 multiscale 3-level full-image (B={B3}, {label}):"
+                  f" {dt*1e3:.2f} ms/frame -> {1/dt:.0f} fps", flush=True)
+            best = min(best, dt) if best is not None else dt
+        results["config3_multiscale_fps"] = round(1 / best, 1)
 
     if want(4):
         # ---- config 4: radial/polar 1-D matcher (200x200 polar, hWin 15,

@@ -64,7 +64,8 @@ def load_rectified_pair(
     img_u = undist.undistort_image(jnp.asarray(img), cal.K, cal.distortion)
     em = ego.get_ego_motion(prev_u, img_u, cal.K,
                             max_points=cal.sfm.max_points,
-                            quality=cal.sfm.points_quality)
+                            quality=cal.sfm.points_quality,
+                            tracker="full")
     ratio = float(em.n_inliers) / max(float(em.n_found), 1.0)
     h, w = geom.hImg, geom.wImg
     prev_s = scale(prev_u, h, w)
@@ -530,7 +531,8 @@ def load_polar_pair_reference(
     reference for the batched/fused path."""
     em = ego.get_ego_motion(jnp.asarray(prev), jnp.asarray(img), cal.K,
                             max_points=cal.sfm.max_points,
-                            quality=cal.sfm.points_quality)
+                            quality=cal.sfm.points_quality,
+                            tracker="full")
     ratio = float(em.n_inliers) / max(float(em.n_found), 1.0)
     e2_full = np.asarray(ego.epipole(cal.K, em.T))
     e2 = e2_full * (w_img / cal.wImg)

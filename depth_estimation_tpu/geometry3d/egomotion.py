@@ -543,14 +543,21 @@ def get_ego_motion_from_matches(pts1, pts2, valid, K, n_samples: int = 64,
     return EgoMotion(Rs[pick], ts[pick], inls[best], valid.sum())
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _ego_motion_jit(img1, img2, K, max_points: int, quality, key) -> EgoMotion:
+@functools.partial(jax.jit, static_argnums=(3, 6))
+def _ego_motion_jit(img1, img2, K, max_points: int, quality, key,
+                    tracker: str = "windowed") -> EgoMotion:
     pts, pvalid = good_features_to_track(img1, max_points, quality)
-    # window-cached tracker: OpenCV's calcOpticalFlowPyrLK (the reference's
-    # actual dependency, sfm2) also iterates inside a window around the
-    # current estimate — the full-image-resample track_lk stays for the
-    # offline loaders where inter-frame motion is unbounded
-    pts2, status = track_lk_windowed(img1, img2, pts)
+    # 'windowed': window-cached tracker — OpenCV's calcOpticalFlowPyrLK
+    # (the reference's actual dependency, sfm2) also iterates inside a
+    # window around the current estimate; the online-regime default.
+    # 'full': full-image-resample track_lk — for the offline loaders,
+    # where inter-frame motion is unbounded and the batched device
+    # programs (load_rectified_pairs_batched, _polar_batch_device) use
+    # the same form, keeping the per-pair/batched equivalence exact.
+    if tracker == "windowed":
+        pts2, status = track_lk_windowed(img1, img2, pts)
+    else:
+        pts2, status = track_lk(img1, img2, pts)
     valid = pvalid & status
     return get_ego_motion_from_matches(pts, pts2, valid, K, key=key)
 
@@ -657,9 +664,12 @@ def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,
 
 
 def get_ego_motion(img1, img2, K, max_points: int = 400,
-                   quality: float = 0.001, key=None) -> EgoMotion:
+                   quality: float = 0.001, key=None,
+                   tracker: str = "windowed") -> EgoMotion:
     """Full sfm2.getEgoMotion surface: detect corners in img1, LK-track to
     img2, robust essential fit. Returns (R, T, inliers, found).
+    ``tracker``: 'windowed' (online regime, bounded motion) or 'full'
+    (offline loaders; matches the batched device programs exactly).
 
     The whole pipeline runs as ONE jitted program — eager composition costs
     thousands of per-op dispatches (catastrophic on tunneled backends)."""
@@ -667,7 +677,7 @@ def get_ego_motion(img1, img2, K, max_points: int = 400,
         key = jax.random.PRNGKey(1)
     return _ego_motion_jit(jnp.asarray(img1), jnp.asarray(img2),
                            jnp.asarray(K, jnp.float32), max_points,
-                           jnp.float32(quality), key)
+                           jnp.float32(quality), key, tracker)
 
 
 def fundamental_from_essential(E, K) -> jnp.ndarray:

@@ -60,10 +60,15 @@ def match_ssd(f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
     Args:
       f1: (H, W, K) reference features (already half-window cropped).
       f2: (H + maxh - 1, W + maxw - 1, K) search features.
-      dtype: optional feature compute type (e.g. jnp.bfloat16 halves the
-        per-displacement load traffic; differences are upcast to f32 before
-        the square-sum). None keeps the input precision (the default for
-        training and bit-parity paths).
+      dtype: optional feature STORAGE type (e.g. jnp.bfloat16 halves the
+        per-displacement load traffic). The subtraction itself runs in f32
+        on the quantized features — subtracting in bf16 loses the small
+        f1-f2 residuals to cancellation (measured 0.117 px mean WTA-flow
+        delta on a trained multiscale model vs 0.063 px with the f32
+        subtract — the same storage-only discipline that keeps
+        match_flow_fused's bf16 option inside the 0.1 px budget). None
+        keeps the input precision (the default for training and bit-parity
+        paths).
     Returns:
       (H, W, maxh * maxw) f32 cost volume, d = dy * maxw + dx.
     """
@@ -77,14 +82,16 @@ def match_ssd(f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
     f1t = jnp.transpose(f1, (2, 0, 1))
     f2t = jnp.transpose(f2, (2, 0, 1))
     if dtype is not None:
+        # quantize ONCE to the storage type (this is what the loads read);
+        # each use upcasts to f32 as part of the subtract's fused producer,
+        # so traffic stays at the storage width while the arithmetic is f32
         f1t = f1t.astype(dtype)
         f2t = f2t.astype(dtype)
     costs = []
     for dy in range(maxh):
         for dx in range(maxw):
-            diff = (f1t - jax.lax.slice(
-                f2t, (0, dy, dx), (K, dy + H, dx + W)
-            )).astype(jnp.float32)
+            win = jax.lax.slice(f2t, (0, dy, dx), (K, dy + H, dx + W))
+            diff = f1t.astype(jnp.float32) - win.astype(jnp.float32)
             costs.append(jnp.sum(diff * diff, axis=0))
     return jnp.stack(costs, axis=-1)
 

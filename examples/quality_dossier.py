@@ -153,10 +153,14 @@ def bf16_epe_deltas(geom, params, img1, img2):
     for name, fl in (
         ("fused_bf16", flow_of(matching.match_flow_fused, 8, False, False,
                                jnp.bfloat16)),
+        ("fused_f16", flow_of(matching.match_flow_fused, 8, False, False,
+                              jnp.float16)),
         ("fast_f32", flow_of(matching.match_flow_fast, 32, False,
                              jnp.float32)),
         ("fast_bf16", flow_of(matching.match_flow_fast, 32, False,
                               jnp.bfloat16)),
+        ("fast_f16", flow_of(matching.match_flow_fast, 32, False,
+                             jnp.float16)),
     ):
         d = np.sqrt(((fl - ref) ** 2).sum(0))
         outs[name] = {"mean_epe_delta_px": round(float(d.mean()), 4),
@@ -174,17 +178,20 @@ def multiscale_bf16_delta(geom, params, img1, img2):
 
     outs = {}
     f32 = MultiscaleFlowModel(geom)
-    b16 = MultiscaleFlowModel(geom, decode_dtype=jnp.bfloat16)
     i1, i2 = jnp.asarray(img1), jnp.asarray(img2)
     idx32, _ = f32.decode_full(params, i1, i2)
-    idx16, _ = b16.decode_full(params, i1, i2)
     y32, x32 = codecs.decode(geom, idx32)
-    y16, x16 = codecs.decode(geom, idx16)
-    d = np.sqrt((np.asarray(y32 - y16) ** 2 + np.asarray(x32 - x16) ** 2))
-    outs["multiscale_staged_bf16"] = {
-        "mean_epe_delta_px": round(float(d.mean()), 4),
-        "wta_agreement": round(float((np.asarray(idx32)
-                                      == np.asarray(idx16)).mean()), 4)}
+    for name, dtype in (("multiscale_staged_bf16", jnp.bfloat16),
+                        ("multiscale_staged_f16", jnp.float16)):
+        m = MultiscaleFlowModel(geom, decode_dtype=dtype)
+        idx16, _ = m.decode_full(params, i1, i2)
+        y16, x16 = codecs.decode(geom, idx16)
+        d = np.sqrt((np.asarray(y32 - y16) ** 2
+                     + np.asarray(x32 - x16) ** 2))
+        outs[name] = {
+            "mean_epe_delta_px": round(float(d.mean()), 4),
+            "wta_agreement": round(float((np.asarray(idx32)
+                                          == np.asarray(idx16)).mean()), 4)}
     return outs
 
 

@@ -68,21 +68,31 @@ def main(only=None):
         c1 = jnp.broadcast_to(jnp.asarray(car1), (B, 180, 320, 3))
         c2 = jnp.broadcast_to(jnp.asarray(car2), (B, 180, 320, 3))
 
-        @jax.jit
-        def single_scale(prm, a, b):
-            f1 = crop_features_center(g1, m1.features(prm, a))
-            f2 = m1.features(prm, b)
-            # diff-form fused bf16 kernel, same as the headline — the
-            # fastest kernel that holds the <=0.1 px budget on trained
-            # models (README quality notes); block 32 per the headline
-            # block-size shootout
-            return matching.match_flow_fused(f1, f2, g1.maxh, g1.maxw, 32,
-                                             False, False, jnp.bfloat16)
+        # the IN-BUDGET kernel options (<= 0.1 px trained-model EPE delta,
+        # quality dossier): fused bf16 0.052 px, fused f16 0.0065 px, fast
+        # f16 0.0065 px (fast bf16 is ~1 px — over budget, excluded).
+        # Record the fastest; block 32 per the headline block shootout.
+        def mk(fn, dtype):
+            @jax.jit
+            def single_scale(prm, a, b):
+                f1 = crop_features_center(g1, m1.features(prm, a))
+                f2 = m1.features(prm, b)
+                return fn(f1, f2, g1.maxh, g1.maxw, 32, False,
+                          *(([False] if fn is matching.match_flow_fused
+                             else []) + [dtype]))
+            return single_scale
 
-        dt = timed(lambda: single_scale(p1, c1, c2), 10, B)
-        results["config1_single_scale_fps"] = round(1 / dt, 1)
-        print(f"config 1 single-scale 320x180 17x17: {dt*1e3:.2f} ms/pair "
-              f"-> {1/dt:.0f} fps", flush=True)
+        best = None
+        for label, fn, dtype in (
+                ("fused bf16", matching.match_flow_fused, jnp.bfloat16),
+                ("fused f16", matching.match_flow_fused, jnp.float16),
+                ("fast f16", matching.match_flow_fast, jnp.float16)):
+            step = mk(fn, dtype)
+            dt = timed(lambda: step(p1, c1, c2), 10, B)
+            print(f"config 1 single-scale 320x180 17x17 ({label}): "
+                  f"{dt*1e3:.2f} ms/pair -> {1/dt:.0f} fps", flush=True)
+            best = min(best, dt) if best is not None else dt
+        results["config1_single_scale_fps"] = round(1 / best, 1)
 
     if want(2):
         # ---- config 2: celiu variational GT generation (192x256 car pair)

@@ -51,9 +51,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--head", default="mean", choices=("mean", "max"))
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=("float32", "bfloat16"),
-                    help="matcher feature storage type (bf16 is the "
-                         "measured-faster inference option, README)")
+                    choices=("float32", "bfloat16", "float16"),
+                    help="matcher feature storage type (2-byte storage is "
+                         "the measured-faster inference option; f16 is the "
+                         "higher-mantissa 2-byte variant, README)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--fast", action="store_true",
                     help="throughput knobs: decode-side rotation "
@@ -83,7 +84,8 @@ def main():
     B = args.batch
     est = BatchedDepthEstimator(
         g, params, ARDRONE, head=args.head,
-        match_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        match_dtype={"bfloat16": jnp.bfloat16, "float16": jnp.float16,
+                     "float32": jnp.float32}[args.dtype],
         warp_dtype=jnp.bfloat16 if args.fast else None,
         compensation=("decode" if args.fast
                       else "warp_banded" if args.warp_banded else "warp"),

@@ -1,0 +1,64 @@
+"""Recompute the reduced-precision EPE-delta table from the SAVED dossier
+checkpoints (examples/_dossier_work), without retraining, and merge the rows
+into examples/quality_dossier.json.
+
+The deltas are pure dtype arithmetic on trained weights, so they are
+hardware-independent (the Pallas kernels run in interpret mode off-TPU with
+identical op-level semantics); re-running on the chip reproduces them.
+Usage: python examples/refresh_precision_table.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+    from depth_estimation_tpu.data.images import load_image, scale
+    from depth_estimation_tpu.models import io as model_io
+    from quality_dossier import bf16_epe_deltas, multiscale_bf16_delta
+
+    work = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "_dossier_work")
+
+    def model_dir(name):
+        d = os.path.join(work, "models_" + name)
+        (sub,) = os.listdir(d)
+        return os.path.join(d, sub)
+
+    geom0, _, params0, _ = model_io.load_model(model_dir("single_scale_ccGT"))
+    geom2, _, params2, _ = model_io.load_model(model_dir("multiscale_ccGT"))
+
+    car1 = np.asarray(scale(load_image("/root/reference/celiu/car1.jpg"),
+                            180, 320))
+    car2 = np.asarray(scale(load_image("/root/reference/celiu/car2.jpg"),
+                            180, 320))
+    seq = sorted(os.listdir(os.path.join(work, "seq", "images")))
+    f6 = np.asarray(scale(load_image(
+        os.path.join(work, "seq", "images", seq[-2])), 180, 320))
+    f7 = np.asarray(scale(load_image(
+        os.path.join(work, "seq", "images", seq[-1])), 180, 320))
+
+    car = bf16_epe_deltas(geom0, params0, car1, car2)
+    car.update(multiscale_bf16_delta(geom2, params2, car1, car2))
+    seqd = bf16_epe_deltas(geom0, params0, f6, f7)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "quality_dossier.json")
+    with open(path) as f:
+        results = json.load(f)
+    results["bf16_deltas_car_pair"] = car
+    results["bf16_deltas_seq_pair"] = seqd
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"car_pair": car, "seq_pair": seqd}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

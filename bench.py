@@ -100,20 +100,30 @@ def _run():
         f1 = crop_features_center(g, model.features(params, small1))
         f2 = model.features(params, small2)
         # diff-form fused kernel + bf16 feature storage: the fastest
-        # PRODUCTION-QUALITY combination (matcher-only at this shape:
-        # fused f32 0.328 -> fused bf16 0.229 -> fast bf16 0.209 ms/pair,
-        # but the norm-decomposed bf16 fast path measures ~1 px mean EPE
-        # delta on TRAINED models — quality dossier — so the headline
-        # benches what production would ship: fused bf16, 0.05 px delta).
+        # combination whose quality budget is confirmed ON-CHIP
+        # (matcher-only at this shape: fused f32 0.328 -> fused bf16
+        # 0.229 -> fast bf16 0.209 ms/pair; the norm-decomposed fast
+        # path's bf16 budget is pending an on-chip precision re-measure —
+        # quality dossier — so the headline benches what production
+        # ships today: fused bf16, 0.05 px delta).
         # f16 STORAGE is the probe candidate (DE_TPU_BENCH_KERNEL/_DTYPE):
         # same 2-byte loads, 10 mantissa bits — fast+f16 measures 0.0065 px
-        # on a trained model, so it's in-budget IF Mosaic runs it at bf16
-        # speed. block_rows=32 measured fastest (0.240@8 / 0.229@32 /
+        # on a trained model IN INTERPRET MODE; becoming the default needs
+        # Mosaic to run it at bf16 speed AND the precision table re-run on
+        # the chip (interpret precision has disagreed with the chip before
+        # — fast bf16). block_rows=32 measured fastest (0.240@8 / 0.229@32 /
         # 0.306@48, 64 exceeds scoped VMEM at B=128).
         kern = os.environ.get("DE_TPU_BENCH_KERNEL", "fused")
-        dt = dict(bfloat16=jnp.bfloat16, float16=jnp.float16,
-                  float32=jnp.float32)[
-            os.environ.get("DE_TPU_BENCH_DTYPE", "bfloat16")]
+        if kern not in ("fused", "fast"):
+            raise SystemExit(f"DE_TPU_BENCH_KERNEL={kern!r}: must be "
+                             f"'fused' or 'fast'")
+        dts = dict(bfloat16=jnp.bfloat16, float16=jnp.float16,
+                   float32=jnp.float32)
+        dt_name = os.environ.get("DE_TPU_BENCH_DTYPE", "bfloat16")
+        if dt_name not in dts:
+            raise SystemExit(f"DE_TPU_BENCH_DTYPE={dt_name!r}: must be one "
+                             f"of {sorted(dts)}")
+        dt = dts[dt_name]
         if kern == "fast":
             idx, ey, ex, pmax = matching.match_flow_fast(
                 f1, f2, g.maxh, g.maxw, 32, False, dt)

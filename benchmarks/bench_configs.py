@@ -68,31 +68,35 @@ def main(only=None):
         c1 = jnp.broadcast_to(jnp.asarray(car1), (B, 180, 320, 3))
         c2 = jnp.broadcast_to(jnp.asarray(car2), (B, 180, 320, 3))
 
-        # the IN-BUDGET kernel options (<= 0.1 px trained-model EPE delta,
-        # quality dossier): fused bf16 0.052 px, fused f16 0.0065 px, fast
-        # f16 0.0065 px (fast bf16 is ~1 px — over budget, excluded).
-        # Record the fastest; block 32 per the headline block shootout.
+        # RECORDED kernel: fused bf16 — the only reduced-precision option
+        # whose <= 0.1 px trained-model EPE budget is confirmed ON-CHIP
+        # (0.052 px, quality dossier). The f16 rows (fused f16 / fast f16,
+        # 0.0065 px in interpret mode) are printed as PROBES only: the
+        # interpret-mode precision table has disagreed with the chip
+        # before (fast bf16: ~1.0 px on-chip vs 0.05 px interpret), so an
+        # f16 probe may replace the recorded kernel only after
+        # refresh_precision_table.py has been re-run ON the TPU and shows
+        # it in budget. Block 32 per the headline block shootout.
         def mk(fn, dtype):
             @jax.jit
             def single_scale(prm, a, b):
                 f1 = crop_features_center(g1, m1.features(prm, a))
                 f2 = m1.features(prm, b)
-                return fn(f1, f2, g1.maxh, g1.maxw, 32, False,
-                          *(([False] if fn is matching.match_flow_fused
-                             else []) + [dtype]))
+                return fn(f1, f2, g1.maxh, g1.maxw, 32, False, dtype=dtype)
             return single_scale
 
-        best = None
+        recorded = None
         for label, fn, dtype in (
                 ("fused bf16", matching.match_flow_fused, jnp.bfloat16),
-                ("fused f16", matching.match_flow_fused, jnp.float16),
-                ("fast f16", matching.match_flow_fast, jnp.float16)):
+                ("fused f16 PROBE", matching.match_flow_fused, jnp.float16),
+                ("fast f16 PROBE", matching.match_flow_fast, jnp.float16)):
             step = mk(fn, dtype)
             dt = timed(lambda: step(p1, c1, c2), 10, B)
             print(f"config 1 single-scale 320x180 17x17 ({label}): "
                   f"{dt*1e3:.2f} ms/pair -> {1/dt:.0f} fps", flush=True)
-            best = min(best, dt) if best is not None else dt
-        results["config1_single_scale_fps"] = round(1 / best, 1)
+            if recorded is None:
+                recorded = dt
+        results["config1_single_scale_fps"] = round(1 / recorded, 1)
 
     if want(2):
         # ---- config 2: celiu variational GT generation (192x256 car pair)
@@ -123,24 +127,27 @@ def main(only=None):
         # (streaming batch B3, staged fast decode — see decode_full_staged)
         g3 = Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
                       maxh=8, maxw=8, multiscale=True, ratios=(1, 2, 4))
-        # Two IN-BUDGET staged decodes (<= 0.1 px trained-model WTA delta,
-        # quality dossier): f32 (exact) and f16 STORAGE (0.019 px — f16's
-        # 10 mantissa bits vs bf16's 7 at the same 2-byte traffic; the bf16
+        # RECORDED decode: f32 (exact). The f16 STORAGE decode (0.019 px
+        # in interpret mode — f16's 10 mantissa bits vs bf16's 7 at the
+        # same 2-byte traffic) is printed as a PROBE: interpret-mode
+        # precision has disagreed with the chip before (fast bf16), so f16
+        # may replace the recorded decode only after the precision table
+        # is re-measured ON the TPU and shows it in budget. The bf16
         # decode measured 522 -> 610 fps but its 0.117 px delta is over
-        # budget, so it stays an explicit opt-in). Record the faster of the
-        # two in-budget options.
+        # budget either way (explicit opt-in only).
         p3 = MultiscaleFlowModel(g3).init(jax.random.PRNGKey(0))
         B3 = 64
         c1m = jnp.broadcast_to(jnp.asarray(car1), (B3, 180, 320, 3))
         c2m = jnp.broadcast_to(jnp.asarray(car2), (B3, 180, 320, 3))
-        best = None
-        for label, dtype in (("f32", None), ("f16", jnp.float16)):
+        recorded = None
+        for label, dtype in (("f32", None), ("f16 PROBE", jnp.float16)):
             m3 = MultiscaleFlowModel(g3, decode_dtype=dtype)
             dt = timed(lambda: m3.decode_full_staged(p3, c1m, c2m), 10, B3)
             print(f"config 3 multiscale 3-level full-image (B={B3}, {label}):"
                   f" {dt*1e3:.2f} ms/frame -> {1/dt:.0f} fps", flush=True)
-            best = min(best, dt) if best is not None else dt
-        results["config3_multiscale_fps"] = round(1 / best, 1)
+            if recorded is None:
+                recorded = dt
+        results["config3_multiscale_fps"] = round(1 / recorded, 1)
 
     if want(4):
         # ---- config 4: radial/polar 1-D matcher (200x200 polar, hWin 15,

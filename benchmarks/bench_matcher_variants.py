@@ -48,11 +48,13 @@ VARIANTS = [
     ("fast f32 b16", lambda: matching.match_flow_fast(f1, f2, maxh, maxw, 16)),
     ("fast bf16 b32", lambda: matching.match_flow_fast(
         f1, f2, maxh, maxw, 32, False, jnp.bfloat16)),
-    # f16 STORAGE: same 2-byte loads as bf16 but 10 mantissa bits — the
-    # norm-decomposed fast kernel lands IN the 0.1 px budget with f16
-    # (0.0065 px mean EPE on a trained model vs ~1 px with bf16; quality
-    # dossier). If the f16 rows match the bf16 speed, fast+f16 is the new
-    # production kernel.
+    # f16 STORAGE: same 2-byte loads as bf16 but 10 mantissa bits — in
+    # INTERPRET mode the norm-decomposed fast kernel lands IN the 0.1 px
+    # budget with f16 (0.0065 px mean EPE on a trained model vs ~1 px
+    # bf16 measured on-chip). Becoming the production kernel needs BOTH
+    # (a) these rows matching bf16 speed and (b) the precision table
+    # re-measured ON the TPU confirming the budget (interpret-mode
+    # precision has disagreed with the chip before — fast bf16).
     ("pallas f16 b16", lambda: matching.match_flow_fused(
         f1, f2, maxh, maxw, 16, False, False, jnp.float16)),
     ("fast f16 b32", lambda: matching.match_flow_fast(

@@ -61,14 +61,16 @@ def match_ssd(f1: jnp.ndarray, f2: jnp.ndarray, maxh: int, maxw: int,
       f1: (H, W, K) reference features (already half-window cropped).
       f2: (H + maxh - 1, W + maxw - 1, K) search features.
       dtype: optional feature STORAGE type (e.g. jnp.bfloat16 halves the
-        per-displacement load traffic). The subtraction itself runs in f32
-        on the quantized features — subtracting in bf16 loses the small
-        f1-f2 residuals to cancellation (measured 0.117 px mean WTA-flow
-        delta on a trained multiscale model vs 0.063 px with the f32
-        subtract — the same storage-only discipline that keeps
-        match_flow_fused's bf16 option inside the 0.1 px budget). None
-        keeps the input precision (the default for training and bit-parity
-        paths).
+        per-displacement load traffic). Features are quantized ONCE to the
+        storage type and the subtraction runs in f32 on the quantized
+        values, so the only reduced-precision effect is the storage
+        rounding itself — the same storage-only discipline as
+        match_flow_fused's bf16 option. The resulting trained-model error
+        is model-dependent: the staged multiscale bf16 decode built on
+        this op measures ~0.08-0.12 px mean WTA-flow delta across dossier
+        retrains, straddling the 0.1 px budget — which is why config3
+        records f32 (examples/quality_dossier.json). None keeps the input
+        precision (the default for training and bit-parity paths).
     Returns:
       (H, W, maxh * maxw) f32 cost volume, d = dy * maxw + dx.
     """
@@ -373,9 +375,10 @@ def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
     cell and s = 0 poisons the decode with NaNs (caught by the quality
     dossier on a trained model) — so the softmax accumulators use the same
     flash-style running-max rescaling as _fused_kernel. Floating point
-    caveat: the decomposition rounds differently from direct diff^2, so
-    near-exact ties can decode to a neighboring cell; use _fused_kernel
-    for bit-parity with the reference.
+    caveat: the decomposition rounds differently from direct diff^2 (at
+    f32-rounding level, given the quantize-once discipline in
+    match_flow_fast), so near-exact ties can decode to a neighboring
+    cell; use _fused_kernel for bit-parity with the reference.
     """
     K = f1_ref.shape[0]
     W = f1_ref.shape[2]
@@ -455,11 +458,15 @@ def match_flow_fast(
     # with bf16-rounded cross products leave O(|f|^2 eps_bf16) residuals
     # that swamp small costs on trained (large-magnitude) feature maps —
     # measured 1.36 px mean EPE error vs 0.05 px for the fused kernel.
-    # Consistent rounding removes that inconsistency but NOT the
-    # decomposition's inherent absolute-noise floor: bf16 fast still
-    # measures ~1.0 px mean EPE delta on trained models (quality dossier),
-    # so bf16 here is benchmark/experimental only — production bf16
-    # inference uses match_flow_fused (diff-form, 0.05 px).
+    # With quantize-once + all-f32 arithmetic (this code), the remaining
+    # fast-vs-fused disagreement is bounded at f32-rounding level:
+    # interpret mode measures 0.052 px for bf16 (equal to fused-bf16,
+    # i.e. pure storage quantization). An earlier ON-CHIP dossier run
+    # recorded ~1.0 px — most likely measured before this fix landed —
+    # so production bf16 stays match_flow_fused (0.05 px confirmed
+    # on-chip) until examples/refresh_precision_table.py is re-run on
+    # the chip and supersedes that row (quality dossier,
+    # precision_table_backend).
     f1r = f1t.astype(jnp.float32)
     f2r = f2t.astype(jnp.float32)
     n1 = jnp.sum(f1r * f1r, axis=1)                      # (B, H, W)

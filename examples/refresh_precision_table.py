@@ -2,12 +2,19 @@
 checkpoints (examples/_dossier_work), without retraining, and merge the rows
 into examples/quality_dossier.json.
 
-The deltas are pure dtype arithmetic on trained weights, so they are
-hardware-independent (the Pallas kernels run in interpret mode off-TPU with
-identical op-level semantics); re-running on the chip reproduces them.
-Usage: python examples/refresh_precision_table.py
+Off-TPU the Pallas kernels run in interpret mode, which is INTENDED to have
+identical op-level semantics to the Mosaic compile — but an earlier on-chip
+fast-bf16 measurement recorded ~1.0 px where interpret mode on the current
+kernel measures ~0.05 px (the 1.0 px run most likely predates the
+consistent-rounding/upcast fix that landed in the same commit; quantize-once
++ all-f32 arithmetic mathematically bounds the fast/fused disagreement at
+f32-rounding level). Until the table is re-measured on the chip, the merged
+table records which backend produced it (``precision_table_backend``) and
+policy flips (which dtype/kernel is "production") use only TPU-backed rows.
+Usage: python examples/refresh_precision_table.py [--cpu]
 """
 
+import argparse
 import json
 import os
 import sys
@@ -19,6 +26,15 @@ import numpy as np
 
 
 def main():
+    args = argparse.ArgumentParser()
+    args.add_argument("--cpu", action="store_true",
+                      help="force the CPU backend (the axon TPU plugin "
+                           "overrides JAX_PLATFORMS; this must be set "
+                           "before backend init)")
+    args = args.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from depth_estimation_tpu.data.images import load_image, scale
     from depth_estimation_tpu.models import io as model_io
@@ -49,12 +65,14 @@ def main():
     car.update(multiscale_bf16_delta(geom2, params2, car1, car2))
     seqd = bf16_epe_deltas(geom0, params0, f6, f7)
 
+    import jax
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "quality_dossier.json")
     with open(path) as f:
         results = json.load(f)
     results["bf16_deltas_car_pair"] = car
     results["bf16_deltas_seq_pair"] = seqd
+    results["precision_table_backend"] = jax.default_backend()
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"car_pair": car, "seq_pair": seqd}, indent=1))

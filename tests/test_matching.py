@@ -233,6 +233,31 @@ def test_fused_kernel_bf16_parity():
 
 
 
+def test_kernels_f16_parity():
+    """f16 feature STORAGE (10 mantissa bits at bf16's 2-byte traffic) must
+    agree with f32 much tighter than bf16 does. Contract test on random
+    features; the trained-model EPE budget call (0.0065 px in interpret
+    mode, quality dossier) additionally needs the on-chip precision run —
+    interpret-mode precision has disagreed with the chip before (fast
+    bf16: ~1 px on-chip vs 0.05 px interpret on identical code)."""
+    from depth_estimation_tpu.ops import matching
+    rng = np.random.RandomState(7)
+    maxh = maxw = 8
+    H, W, K = 24, 32, 6
+    f1 = jnp.asarray(rng.rand(H, W, K), jnp.float32)
+    f2 = jnp.asarray(rng.rand(H + maxh - 1, W + maxw - 1, K), jnp.float32)
+    o32 = matching.match_flow_fused(f1, f2, maxh, maxw, 8, True)
+    for o16 in (
+            matching.match_flow_fused(f1, f2, maxh, maxw, 16, True, False,
+                                      jnp.float16),
+            matching.match_flow_fast(f1, f2, maxh, maxw, 16, True,
+                                     jnp.float16)):
+        idx_agree = (np.asarray(o32[0]) == np.asarray(o16[0])).mean()
+        assert idx_agree > 0.97, idx_agree
+        np.testing.assert_allclose(np.asarray(o32[2]), np.asarray(o16[2]),
+                                   atol=0.05)
+
+
 def test_fast_kernel_bf16_parity():
     """bf16 feature storage in match_flow_fast agrees with the f32 fused
     kernel on nearly all WTA indices and on soft-argmax within tolerance

@@ -18,4 +18,13 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
 
 __version__ = "0.1.0"
 
+# Shared persistent XLA compilation cache (utils/compcache.py): first
+# compiles on the tunneled TPU run 20-120 s and the big interpret-mode CPU
+# programs run minutes — cached executables make every later process start
+# warm. Opt out with DE_TPU_COMPILE_CACHE=off.
+from .utils.compcache import enable_persistent_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache
+
 from .geometry import Geometry, Learning  # noqa: F401

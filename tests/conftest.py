@@ -5,6 +5,10 @@ import os
 
 # Must be set before jax is imported anywhere.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent-compilation-cache loads on CPU log two spurious ERROR lines per
+# cached executable (XLA pseudo-feature mismatch, utils/compcache.py) —
+# suppress XLA C++ logging below FATAL unless the caller asked otherwise.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

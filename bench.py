@@ -47,16 +47,21 @@ _INPUT_U8 = os.environ.get("DE_TPU_BENCH_U8", "0") == "1"
 
 
 def main():
-    for attempt in range(3):
+    # The tunneled TPU occasionally drops mid-run or rejects the first
+    # compile; retry a few times before giving up (DE_TPU_BENCH_RETRIES /
+    # DE_TPU_BENCH_RETRY_SLEEP to tune — e.g. longer for unattended runs).
+    retries = int(os.environ.get("DE_TPU_BENCH_RETRIES", "4"))
+    sleep_s = float(os.environ.get("DE_TPU_BENCH_RETRY_SLEEP", "90"))
+    for attempt in range(retries):
         try:
             return _run()
         except Exception as e:  # transient compile-service / TPU hiccups
-            if attempt == 2:
+            if attempt == retries - 1:
                 raise
             import sys
             print(f"bench attempt {attempt} failed ({type(e).__name__}); "
-                  f"retrying in 60s", file=sys.stderr)
-            time.sleep(60)
+                  f"retrying in {sleep_s:.0f}s", file=sys.stderr)
+            time.sleep(sleep_s)
 
 
 def _run():

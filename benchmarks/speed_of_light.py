@@ -1,0 +1,184 @@
+"""Speed-of-light report for the hot kernels: measured time vs the analytic
+minimum implied by the MEASURED device ceilings (benchmarks/device_peaks.py).
+
+For each kernel we compute two lower bounds and take the binding one:
+  t_compute — irreducible arithmetic at the measured VPU/MXU rate,
+  t_memory  — irreducible HBM bytes at the measured stream rate,
+then report %SoL = max(t_compute, t_memory) / t_measured. 100% means the
+kernel runs exactly at the hardware's measured ceiling for its own
+irreducible work; the analytic op counts below are lower bounds (bookkeeping
+the real kernel cannot fully avoid is excluded), so %SoL is conservative.
+
+Covered kernels (the §3 hot-loop ranking):
+  * match_flow_fused / match_flow_fast (bf16 storage) at the headline
+    feature shape — the framework's north-star op;
+  * the conv feature trunk (XLA cost-analysis flops against the MXU rate);
+  * sor_pallas — the celiu red-black SOR sweep at the GT working shape.
+
+Run on the TPU: python benchmarks/speed_of_light.py
+(--cpu exercises the harness on tiny shapes; numbers are not ceilings there.)
+Writes benchmarks/speed_of_light.json.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from device_peaks import _timed  # noqa: E402  (same timing methodology)
+
+
+def _load_peaks(backend):
+    path = os.path.join(os.path.dirname(__file__), "device_peaks.json")
+    if not os.path.exists(path):
+        raise SystemExit("run benchmarks/device_peaks.py first (no "
+                         "device_peaks.json)")
+    with open(path) as fh:
+        peaks = json.load(fh)
+    if peaks.get("backend") != backend:
+        raise SystemExit(f"device_peaks.json is {peaks.get('backend')}-"
+                         f"backed but this run is on {backend}; re-run "
+                         f"benchmarks/device_peaks.py here")
+    return peaks
+
+
+def _roofline(name, t_meas, flops_vpu, n_exp, bytes_hbm, peaks,
+              mxu_flops=0.0):
+    """Assemble one report row. VPU ops are counted as FMA-equivalent
+    instructions (the measured fma rate is 2 flops per lane-op)."""
+    t_alu = flops_vpu / (peaks["vpu_fma_f32_gflops"] * 1e9)
+    t_exp = n_exp / (peaks["vpu_exp_gops"] * 1e9)
+    t_mxu = mxu_flops / (peaks["mxu_bf16_tflops"] * 1e12)
+    t_mem = bytes_hbm / (peaks["hbm_stream_gbps"] * 1e9)
+    t_compute = t_alu + t_exp + t_mxu
+    t_sol = max(t_compute, t_mem)
+    return {
+        "kernel": name,
+        "measured_ms": round(t_meas * 1e3, 4),
+        "sol_ms": round(t_sol * 1e3, 4),
+        "pct_sol": round(100.0 * t_sol / t_meas, 1),
+        "bound": "memory" if t_mem >= t_compute else "compute",
+        "compute_ms": round(t_compute * 1e3, 4),
+        "memory_ms": round(t_mem * 1e3, 4),
+    }
+
+
+def main():
+    import jax
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")  # axon override (CLAUDE.md)
+    import jax.numpy as jnp
+    backend = jax.default_backend()
+    tpu = backend == "tpu"
+    peaks = _load_peaks(backend)
+
+    from depth_estimation_tpu.geometry import Geometry
+    from depth_estimation_tpu.models.flow import FlowModel, crop_features_center
+    from depth_estimation_tpu.ops import matching
+    from depth_estimation_tpu.flow.sor_kernel import sor_pallas
+    from depth_estimation_tpu.flow import celiu
+
+    rows = []
+    rng = np.random.RandomState(0)
+
+    # ---- fused / fast matcher at the headline feature shape --------------
+    if tpu:
+        B, g = 128, Geometry(hImg=180, wImg=320, layers=((3, 16, 16, 10),),
+                             maxh=16, maxw=16)
+        block = 32
+    else:
+        B, g = 2, Geometry(hImg=24, wImg=32, layers=((3, 5, 5, 6),),
+                           maxh=4, maxw=4)
+        block = 8
+    model = FlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.rand(B, g.hImg, g.wImg, 3), jnp.float32)
+    feats = jax.jit(model.features)(params, img)
+    f1 = crop_features_center(g, feats)
+    f2 = feats
+    _, H1, W1, K = f1.shape
+    D = g.maxh * g.maxw
+
+    # irreducible work per (output pixel, displacement), in FMA-equivalent
+    # lane ops x 2 flops: fused recomputes sum_k (a-b)^2 per displacement
+    # (sub + fma = 2 ops/channel); fast only the cross term (1 op/channel).
+    # +3 ops flash-softmax/WTA update per displacement for both. One exp
+    # per displacement for both (softmax probabilities).
+    per_disp_fused = (2 * K + 3) * 2.0
+    per_disp_fast = (K + 3) * 2.0
+    n_dp = float(B) * H1 * W1 * D
+    bytes_match = float(B) * ((H1 * W1 + f2.shape[1] * f2.shape[2]) * K * 2
+                              + H1 * W1 * 4 * 4)  # bf16 reads + 4 f32 outs
+
+    for name, per_disp, fn in (
+        ("match_flow_fused bf16", per_disp_fused,
+         lambda: matching.match_flow_fused(f1, f2, g.maxh, g.maxw, block,
+                                           False, False, jnp.bfloat16)),
+        ("match_flow_fast bf16", per_disp_fast,
+         lambda: matching.match_flow_fast(f1, f2, g.maxh, g.maxw, block,
+                                          False, jnp.bfloat16)),
+    ):
+        t = _timed(lambda fn=fn: fn(), lambda o: float(o[1][0, 0, 0]), n=10)
+        rows.append(_roofline(name, t, n_dp * per_disp, n_dp,
+                              bytes_match, peaks))
+
+    # ---- conv feature trunk (MXU path, flops from XLA's own count) -------
+    trunk = jax.jit(model.features)
+    lowered = trunk.lower(params, img).compile()
+    ca = lowered.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    trunk_flops = float(ca.get("flops", 0.0))
+    trunk_bytes = float(ca.get("bytes accessed", 0.0))
+    t = _timed(lambda: trunk(params, img), lambda o: float(o[0, 0, 0, 0]),
+               n=10)
+    rows.append(_roofline("conv feature trunk", t, 0.0, 0.0, trunk_bytes,
+                          peaks, mxu_flops=trunk_flops))
+
+    # ---- celiu SOR sweep at the GT working shape --------------------------
+    if tpu:
+        Bs, Hs, Ws, n_sor = 8, 192, 256, 40
+    else:
+        Bs, Hs, Ws, n_sor = 2, 24, 32, 4
+    phi = jnp.asarray(rng.rand(Bs, Hs, Ws), jnp.float32) + 0.1
+    w_w, w_e, w_n, w_s = celiu._neighbor_weights(phi)
+    coeff = 0.005 * (w_w + w_e + w_n + w_s)
+    denu = jnp.asarray(rng.rand(Bs, Hs, Ws), jnp.float32) + 0.5 + coeff
+    denv = denu + 0.1
+    b1 = jnp.asarray(rng.randn(Bs, Hs, Ws), jnp.float32)
+    b2 = jnp.asarray(rng.randn(Bs, Hs, Ws), jnp.float32)
+    ixy = jnp.asarray(rng.rand(Bs, Hs, Ws), jnp.float32) * 0.1
+    sor = jax.jit(lambda *a: sor_pallas(*a, alpha=0.005, n_sor=n_sor))
+    t = _timed(lambda: sor(w_w, w_e, w_n, w_s, denu, denv, b1, b2, ixy),
+               lambda o: float(o[0][0, 0, 0]), n=10)
+    # per pixel per iteration: 2 fields x 2 colors x (4-tap neighbor sum
+    # 4 ops + coupling fma 1 + relaxation update 3) = 32 lane ops; the
+    # color-masked select discards half the updates (inherent to red-black
+    # on SIMD), already counted by using ALL pixels per color pass.
+    sor_ops = float(Bs) * Hs * Ws * n_sor * 32 * 2.0
+    sor_bytes = float(Bs) * Hs * Ws * 4 * (9 + 2 + 2)  # 9 planes in, 2 out,
+    #                                                    2 state init
+    rows.append(_roofline("sor_pallas (40 iters)", t, sor_ops, 0.0,
+                          sor_bytes, peaks))
+
+    # ---- report -----------------------------------------------------------
+    hdr = (f"{'kernel':28s} {'measured':>10s} {'SoL':>10s} {'%SoL':>6s} "
+           f"{'bound':>8s}")
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        print(f"{r['kernel']:28s} {r['measured_ms']:>8.3f}ms "
+              f"{r['sol_ms']:>8.3f}ms {r['pct_sol']:>5.1f}% "
+              f"{r['bound']:>8s}")
+    out = {"backend": backend, "peaks": peaks, "kernels": rows}
+    path = os.path.join(os.path.dirname(__file__), "speed_of_light.json")
+    if tpu or "--json" in sys.argv:
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -163,6 +163,36 @@ def main():
     rows.append(_roofline("sor_pallas (40 iters)", t, sor_ops, 0.0,
                           sor_bytes, peaks))
 
+    # ---- banded rotation-compensation warp at the pipeline shape ----------
+    from depth_estimation_tpu.geometry3d import undistort as undist
+    from depth_estimation_tpu.geometry3d.calibration import RECTIFIED_GOPRO_SMALL
+    if tpu:
+        Bw, Hw, Ww, Cw, band = 32, 180, 320, 10, 8
+    else:
+        Bw, Hw, Ww, Cw, band = 2, 24, 32, 4, 2
+    Kw = RECTIFIED_GOPRO_SMALL.K.copy()
+    Kw[0] *= Ww / RECTIFIED_GOPRO_SMALL.wImg
+    Kw[1] *= Hw / RECTIFIED_GOPRO_SMALL.hImg
+    imgs = jnp.asarray(rng.rand(Bw, Hw, Ww, Cw), jnp.float32)
+    ang = jnp.asarray(rng.randn(Bw) * 0.01, jnp.float32)
+    ca_, sa_ = jnp.cos(ang), jnp.sin(ang)
+    one, zero = jnp.ones_like(ca_), jnp.zeros_like(ca_)
+    Rb = jnp.stack([ca_, -sa_, zero, sa_, ca_, zero, zero, zero, one],
+                   axis=1).reshape(Bw, 3, 3)
+    warp = jax.jit(lambda i, R: undist.remove_ego_motion_banded(
+        i, Kw, R, band=band))
+    t = _timed(lambda: warp(imgs, Rb), lambda o: float(o[0, 0, 0, 0]), n=10)
+    # the shift-sum formulation's own irreducible work: (2b+2)^2 static
+    # shifts x (1 weight product + C fmas) per pixel. (The 4-tap gather's
+    # algorithmic minimum is ~30x less arithmetic but has no efficient TPU
+    # lowering — measured 7.3x slower; this row scores the shift-sum form
+    # against the VPU ceiling, not against the gather ideal.)
+    S = (2 * band + 2) ** 2
+    warp_ops = float(Bw) * Hw * Ww * S * (1 + Cw) * 2.0
+    warp_bytes = float(Bw) * Hw * Ww * Cw * 4 * 2
+    rows.append(_roofline(f"banded warp (band={band})", t, warp_ops, 0.0,
+                          warp_bytes, peaks))
+
     # ---- report -----------------------------------------------------------
     hdr = (f"{'kernel':28s} {'measured':>10s} {'SoL':>10s} {'%SoL':>6s} "
            f"{'bound':>8s}")

@@ -65,6 +65,10 @@ def main():
                     help="parity knobs but the gather-free banded shift-sum "
                          "warp (exact within the search margin, band-masked "
                          "beyond; reference stage order preserved)")
+    ap.add_argument("--corners", default=None, choices=("topk", "grid"),
+                    help="corner selection rule (default: topk parity; "
+                         "grid = sort-free per-cell argmax, rotation "
+                         "agreement tested)")
     args = ap.parse_args()
     assert not (args.fast and args.warp_banded)
 
@@ -93,6 +97,7 @@ def main():
         ransac_samples=48 if args.fast else 64,
         state_dtype=jnp.bfloat16 if args.fast else None,
         ego_downsample=2 if args.fast else 1,
+        corner_selector=args.corners or "topk",
         # pure blocking factor (outputs identical, tested); 32 rows/block
         # measured fastest at this shape in every mode
         match_block=32)
@@ -123,7 +128,15 @@ def main():
     fps = 1.0 / dt
     print(f"full pipeline: {dt * 1e3:.3f} ms/pair = {fps:.1f} fps "
           f"(B={B}, head={args.head}, {args.dtype}"
-          f"{', fast' if args.fast else ''})")
+          f"{', fast' if args.fast else ''}"
+          f"{', corners=' + args.corners if args.corners else ''})")
+
+    if args.corners == "grid":
+        # probe only — recorded keys stay parity-selected until the grid
+        # rule is promoted (agreement is tested, speed needs the chip)
+        print(json.dumps({"probe_grid_corners_fps": round(fps, 1),
+                          "vs_target": round(fps / 500.0, 3)}))
+        return
 
     path = os.path.join(os.path.dirname(__file__), "results.json")
     results = {}

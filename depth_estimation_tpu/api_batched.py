@@ -53,7 +53,8 @@ class BatchedDepthEstimator:
                  warp_dtype=None, ego_downsample: int = 1,
                  compensation: str = "warp", lk_iters: int = 10,
                  ransac_samples: int = 64, state_dtype=None,
-                 match_block: int = 8, warp_band: int = 8):
+                 match_block: int = 8, warp_band: int = 8,
+                 corner_selector: str = "topk"):
         """Throughput knobs (all off by default = the parity path):
           * match_dtype / warp_dtype: bf16 feature storage in the fused
             matcher / the rotation-compensation gather (inference-only
@@ -87,11 +88,20 @@ class BatchedDepthEstimator:
           * state_dtype: storage type of the on-device stream state
             (previous frames + feature maps) — bf16 halves the state
             read/write traffic per step; compute still runs f32/matcher
-            rules downstream.
+            rules downstream;
+          * corner_selector: 'topk' = the parity selection (global
+            top-max_points Shi-Tomasi peaks); 'grid' = sort-free per-cell
+            argmax (egomotion._grid_select) — lax.top_k over the flat
+            score map lowers to a full sort on TPU, while the cell form
+            is two reshape-reduces AND enforces the spatial spread the
+            reference gets from OpenCV's minDistance rule. Rotation
+            agreement between the two is tested
+            (tests/test_batched_pipeline.py).
         """
         geometry.validate()
         assert head in ("mean", "max")
         assert compensation in ("warp", "warp_banded", "decode")
+        assert corner_selector in ("topk", "grid")
         assert ego_downsample in (1, 2, 4)
         self.geometry = geometry
         self.params = params
@@ -139,7 +149,7 @@ class BatchedDepthEstimator:
             em = ego.get_ego_motion_batched(
                 e1, e2, K_ego, max_points=cal.sfm.max_points,
                 quality=cal.sfm.points_quality, lk_iters=lk_iters,
-                n_samples=ransac_samples)
+                n_samples=ransac_samples, selector=corner_selector)
             ratio = em.n_inliers.astype(jnp.float32) / jnp.maximum(
                 em.n_found.astype(jnp.float32), 1.0)
             good = ratio >= cal.bad_image_threshold

@@ -46,13 +46,64 @@ def _box(img: jnp.ndarray, k: int) -> jnp.ndarray:
     return jax.lax.reduce_window(p, 0.0, jax.lax.add, (k, k), (1, 1), "VALID")
 
 
+@functools.lru_cache(maxsize=None)
+def _grid_dims(max_points: int, H: int, W: int) -> Tuple[int, int]:
+    """Factor max_points into the (gh, gw) cell grid whose aspect best
+    matches the image (gh * gw == max_points exactly — selection output
+    shape must be static)."""
+    target = (max_points * H / max(W, 1)) ** 0.5
+    gh = min((d for d in range(1, max_points + 1) if max_points % d == 0),
+             key=lambda d: abs(d - target))
+    return gh, max_points // gh
+
+
+def _grid_select(score: jnp.ndarray, max_points: int, quality):
+    """Sort-free corner selection: per-cell argmax over a grid of
+    max_points cells (selector='grid').
+
+    ``score`` (H, W, B) is the non-negative peak map (zero off-peak).
+    Returns (pts (B, N, 2) as (x, y), valid (B, N)). lax.top_k over the
+    flat H*W map lowers to a full sort on TPU; the cell form is two
+    reshape-reduces, and taking one corner per cell ALSO enforces the
+    spatial spread OpenCV's goodFeaturesToTrack gets from its minDistance
+    rule — RANSAC conditioning wants spread corners, not the global top-K
+    clustered on the most textured region. Ties within a cell break to the
+    first pixel in row-major scan order (deterministic)."""
+    H, W, B = score.shape
+    gh, gw = _grid_dims(max_points, H, W)
+    ch, cw = -(-H // gh), -(-W // gw)
+    Hp, Wp = gh * ch, gw * cw
+    s = jnp.pad(score, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    s = s.reshape(gh, ch, gw, cw, B)
+    m = s.max(axis=(1, 3))                                   # (gh, gw, B)
+    me = m[:, None, :, None, :]
+    lin = (jnp.arange(Hp, dtype=jnp.int32)[:, None] * Wp
+           + jnp.arange(Wp, dtype=jnp.int32)[None, :])
+    lin = lin.reshape(gh, ch, gw, cw, 1)
+    hit = (s == me) & (me > 0)
+    idx = jnp.where(hit, lin, jnp.int32(Hp * Wp)).min(axis=(1, 3))
+    ys = (idx // Wp).astype(jnp.float32)
+    xs = (idx % Wp).astype(jnp.float32)
+    best = m.max(axis=(0, 1))                                # (B,)
+    valid = (m > 0) & (m > quality * jnp.maximum(best, 1e-20))
+    pts = jnp.stack([xs, ys], axis=-1).reshape(gh * gw, B, 2)
+    pts = jnp.transpose(pts, (1, 0, 2))
+    valid = valid.reshape(gh * gw, B).T
+    # empty cells carry the sentinel index — zero their coords
+    return jnp.where(valid[..., None], pts, 0.0), valid
+
+
 def good_features_to_track(
     img: jnp.ndarray, max_points: int, quality: float = 0.01,
-    min_dist: int = 8, block: int = 5,
+    min_dist: int = 8, block: int = 5, selector: str = "topk",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (pts (N, 2) float32 as (x, y), valid (N,) bool). Shi-Tomasi
     min-eigenvalue score, quality gate relative to the best corner, greedy
-    non-max suppression via a min_dist x min_dist max-pool."""
+    non-max suppression via a min_dist x min_dist max-pool.
+
+    ``selector``: 'topk' = global top-max_points by score (the parity
+    rule); 'grid' = one corner per grid cell (_grid_select) — sort-free
+    and spread-enforcing, the throughput option."""
     g = _to_gray(img)
     gx = (jnp.pad(g[:, 2:], ((0, 0), (0, 2))) - jnp.pad(g[:, :-2], ((0, 0), (2, 0)))) / 2
     gy = (jnp.pad(g[2:, :], ((0, 2), (0, 0))) - jnp.pad(g[:-2, :], ((2, 0), (0, 0)))) / 2
@@ -73,6 +124,10 @@ def good_features_to_track(
                 constant_values=-jnp.inf)
     mx = jax.lax.reduce_window(p, -jnp.inf, jax.lax.max, (k, k), (1, 1), "VALID")
     is_peak = (lam >= mx) & (lam > 0)
+    if selector == "grid":
+        pts, valid = _grid_select(jnp.where(is_peak, lam, 0.0)[..., None],
+                                  max_points, quality)
+        return pts[0], valid[0]
     score = jnp.where(is_peak, lam, 0.0).reshape(-1)
     vals, flat = jax.lax.top_k(score, max_points)
     ys = (flat // W).astype(jnp.float32)
@@ -585,10 +640,11 @@ def _box_blast(img_hwb: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def good_features_to_track_batched(
     imgs: jnp.ndarray, max_points: int, quality: float = 0.01,
-    min_dist: int = 8, block: int = 5,
+    min_dist: int = 8, block: int = 5, selector: str = "topk",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched Shi-Tomasi: imgs (B, H, W[, 3]) -> (pts (B, N, 2) as (x, y),
-    valid (B, N) bool). Same selection rule as good_features_to_track.
+    valid (B, N) bool). Same selection rules as good_features_to_track
+    (``selector``: 'topk' parity / 'grid' sort-free per-cell argmax).
 
     Batch-LAST layout for every windowed op: a vmapped 2-D reduce_window
     lowers to (B, H, W, 1) temps whose trailing singleton is lane-padded
@@ -616,6 +672,8 @@ def good_features_to_track_batched(
                                (1, 1, 1), "VALID")
     is_peak = (lam >= mx) & (lam > 0)
     score = jnp.where(is_peak, lam, 0.0)
+    if selector == "grid":
+        return _grid_select(score, max_points, quality)
     score = jnp.transpose(score, (2, 0, 1)).reshape(B, H * W)
     vals, flat = jax.lax.top_k(score, max_points)
     ys = (flat // W).astype(jnp.float32)
@@ -624,12 +682,14 @@ def good_features_to_track_batched(
     return jnp.stack([xs, ys], axis=-1), valid
 
 
-@functools.partial(jax.jit, static_argnums=(3, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 6, 7, 8))
 def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
                             key, lk_iters: int = 10,
-                            n_samples: int = 64) -> EgoMotion:
+                            n_samples: int = 64,
+                            selector: str = "topk") -> EgoMotion:
     B = imgs1.shape[0]
-    pts, pvalid = good_features_to_track_batched(imgs1, max_points, quality)
+    pts, pvalid = good_features_to_track_batched(imgs1, max_points, quality,
+                                                 selector=selector)
     # window-cached LK (track_lk_windowed): windows extracted once per
     # level (one-hot matmuls), tiny per-iteration resamples
     pts2, status = jax.vmap(
@@ -651,16 +711,20 @@ def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
 def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,
                            quality: float = 0.001, key=None,
                            lk_iters: int = 10,
-                           n_samples: int = 64) -> EgoMotion:
+                           n_samples: int = 64,
+                           selector: str = "topk") -> EgoMotion:
     """get_ego_motion over B independent frame pairs in one jitted program.
     imgs1/imgs2: (B, H, W[, 3]). Returns EgoMotion with leading batch dims:
-    R (B, 3, 3), T (B, 3), n_inliers/n_found (B,)."""
+    R (B, 3, 3), T (B, 3), n_inliers/n_found (B,). ``selector``: corner
+    selection rule ('topk' parity / 'grid' sort-free, see
+    good_features_to_track)."""
     if key is None:
         key = jax.random.PRNGKey(1)
     return _ego_motion_batched_jit(jnp.asarray(imgs1), jnp.asarray(imgs2),
                                    jnp.asarray(K, jnp.float32),
                                    int(max_points), jnp.float32(quality),
-                                   key, int(lk_iters), int(n_samples))
+                                   key, int(lk_iters), int(n_samples),
+                                   str(selector))
 
 
 def get_ego_motion(img1, img2, K, max_points: int = 400,

@@ -289,3 +289,36 @@ def test_make_batched_pipeline_knob_passthrough():
     import pytest as _pytest
     with _pytest.raises(TypeError):
         api.make_batched_pipeline(g, cal, not_a_knob=1)
+
+
+def test_ego_motion_grid_selector_recovers_rotation():
+    """The sort-free 'grid' corner selector feeds the same LK+RANSAC stack:
+    it must recover the same physical rotation as the 'topk' parity rule
+    (different corners, same camera motion)."""
+    from depth_estimation_tpu.geometry3d import undistort as undist
+    rng = np.random.RandomState(5)
+    h, w = 96, 128
+    K = np.array([[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]],
+                 np.float32)
+    angles = [0.012, -0.018]
+    im1s, im2s = [], []
+    for a in angles:
+        img = _texture(rng, h, w)
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        im2 = np.asarray(undist.remove_ego_motion(
+            jnp.asarray(img), K, jnp.asarray(R.T)))
+        im1s.append(img)
+        im2s.append(im2)
+    i1 = jnp.asarray(np.stack(im1s))
+    i2 = jnp.asarray(np.stack(im2s))
+    em_g = ego.get_ego_motion_batched(i1, i2, K, max_points=200,
+                                      quality=0.001, selector="grid")
+    em_t = ego.get_ego_motion_batched(i1, i2, K, max_points=200,
+                                      quality=0.001, selector="topk")
+    for i, a in enumerate(angles):
+        got = np.arcsin(np.clip(np.asarray(em_g.R)[i][0, 2], -1, 1))
+        ref = np.arcsin(np.clip(np.asarray(em_t.R)[i][0, 2], -1, 1))
+        assert abs(got - a) < 5e-3, (i, got, a)
+        assert abs(got - ref) < 5e-3, (i, got, ref)
+        assert int(em_g.n_found[i]) > 50

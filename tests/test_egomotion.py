@@ -243,3 +243,32 @@ def test_track_lk_windowed_agrees_with_full():
     err = np.abs(d - [dx, dy])
     assert np.median(err[:, 0]) < 0.2
     assert np.median(err[:, 1]) < 0.2
+
+
+def test_grid_selector_finds_planted_corners():
+    """selector='grid' must return the planted corners: bright 2x2 blobs on
+    a dark background, one per region, each the only peak in its cell."""
+    H, W = 64, 64
+    img = np.zeros((H, W, 3), np.float32)
+    planted = [(10, 12), (10, 44), (30, 20), (30, 52), (50, 8), (50, 36)]
+    for (y, x) in planted:
+        img[y:y + 2, x:x + 2] = 1.0
+    pts, valid = egomotion.good_features_to_track(
+        jnp.asarray(img), 16, quality=0.01, selector="grid")
+    got = np.asarray(pts)[np.asarray(valid)]
+    for (y, x) in planted:
+        d = np.abs(got - [x, y]).max(axis=1).min()
+        assert d <= 2.0, ((y, x), got)
+
+
+def test_grid_selector_batched_matches_single():
+    rng = np.random.RandomState(7)
+    from test_batched_pipeline import _texture
+    imgs = np.stack([_texture(rng, 48, 64) for _ in range(3)])
+    pb, vb = egomotion.good_features_to_track_batched(
+        jnp.asarray(imgs), 32, 0.01, selector="grid")
+    for i in range(3):
+        ps, vs = egomotion.good_features_to_track(
+            jnp.asarray(imgs[i]), 32, 0.01, selector="grid")
+        np.testing.assert_array_equal(np.asarray(vb[i]), np.asarray(vs))
+        np.testing.assert_allclose(np.asarray(pb[i]), np.asarray(ps))

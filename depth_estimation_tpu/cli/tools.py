@@ -538,10 +538,25 @@ def main(argv=None) -> int:
     t = sub.add_parser("time-matching")
     t.add_argument("--iters", type=int, default=10)
 
+    e = sub.add_parser("export",
+                       help="write a hermetic serving artifact (StableHLO "
+                            "with weights embedded, serving.py)")
+    e.add_argument("model")
+    e.add_argument("--out", default=None)
+    e.add_argument("--pipeline", action="store_true",
+                   help="export the COMPLETE batched online program "
+                        "instead of the flow forward")
+    e.add_argument("--batch", type=int, default=32)
+    e.add_argument("--cal", default=None, help=".cal file (pipeline export)")
+    e.add_argument("--bf16", action="store_true",
+                   help="bf16 matcher feature storage (forward export)")
+
     args = p.parse_args(argv)
+    from ..serving import cmd_export
     return {"rectify": cmd_rectify, "download": cmd_download,
             "stream": cmd_stream, "video": cmd_video,
-            "time-matching": cmd_time_matching}[args.cmd](args)
+            "time-matching": cmd_time_matching,
+            "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":

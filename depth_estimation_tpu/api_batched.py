@@ -89,6 +89,10 @@ class BatchedDepthEstimator:
             (previous frames + feature maps) — bf16 halves the state
             read/write traffic per step; compute still runs f32/matcher
             rules downstream;
+          * match_block: fused-matcher row blocking (pure blocking factor,
+            outputs identical). "auto" = measure the candidates once per
+            shape/dtype on the live device during reset() and persist the
+            winner (ops/autotune.py);
           * corner_selector: 'topk' = the parity selection (global
             top-max_points Shi-Tomasi peaks); 'grid' = sort-free per-cell
             argmax (egomotion._grid_select) — lax.top_k over the flat
@@ -102,6 +106,11 @@ class BatchedDepthEstimator:
         assert head in ("mean", "max")
         assert compensation in ("warp", "warp_banded", "decode")
         assert corner_selector in ("topk", "grid")
+        assert match_block == "auto" or int(match_block) > 0
+        # 'auto': measured once per shape/dtype on the live device during
+        # reset() (ops/autotune.py), persisted next to the compile cache
+        self._match_block = match_block
+        self._match_dtype = match_dtype
         assert ego_downsample in (1, 2, 4)
         self.geometry = geometry
         self.params = params
@@ -184,18 +193,20 @@ class BatchedDepthEstimator:
                 wmask = ((jnp.abs(rot_y) <= margin_y)
                          & (jnp.abs(rot_x) <= margin_x)).astype(jnp.float32)
                 f1 = flow_model.crop_features_center(g, last_feats)
+            mb = self._match_block
+            assert mb != "auto", "call reset() first (resolves 'auto')"
             if head == "mean":
                 # confidence gate fused into the matcher kernel (want_conf):
                 # equals confidences_from_marginal on the marginal output
                 # (equivalence-tested) without materializing the
                 # (B, maxh, H, W) marginal in HBM
                 idx, ey, ex, pmax, confs = matching.match_flow_fused(
-                    f1, feats, g.maxh, g.maxw, match_block, False, False,
+                    f1, feats, g.maxh, g.maxw, mb, False, False,
                     match_dtype, True, 0.11)
                 y, x = ey, ex
             else:
                 idx, ey, ex, pmax = matching.match_flow_fused(
-                    f1, feats, g.maxh, g.maxw, match_block, False, False,
+                    f1, feats, g.maxh, g.maxw, mb, False, False,
                     match_dtype)
                 wy, wx = codecs.decode(g, idx)
                 y = wy.astype(jnp.float32)
@@ -259,6 +270,17 @@ class BatchedDepthEstimator:
     def reset(self, first_frames) -> None:
         self.last_u, self.last_feats = self._prep(
             self.params, jnp.asarray(first_frames))
+        if self._match_block == "auto":
+            # resolve against the REAL feature shapes, eagerly, before
+            # _step is first traced (ops/autotune.py — measured once per
+            # shape/dtype/backend, persisted)
+            from .ops import autotune
+            g = self.geometry
+            f1 = flow_model.crop_features_center(g, self.last_feats)
+            self._match_block = autotune.best_block_rows(
+                "fused", tuple(f1.shape), tuple(self.last_feats.shape),
+                g.maxh, g.maxw, dtype=self._match_dtype,
+                want_conf=self.head == "mean")
 
     def next_frames(self, frames):
         """Advance every stream by one frame. Returns (xflow, mask, depth,
@@ -287,10 +309,18 @@ def make_batched_pipeline(geometry: Geometry, cal: Calibration,
                                 match_dtype=match_dtype, **knobs)
 
     @jax.jit
-    def pipeline(params, frames1, frames2):
+    def _jitted(params, frames1, frames2):
         last_u, last_feats = est._prep(params, frames1)
         _, _, xflow, mask, depth, good = est._step_fn(
             params, last_u, last_feats, frames2)
         return xflow, mask, depth, good
+
+    def pipeline(params, frames1, frames2):
+        if est._match_block == "auto":
+            # resolve the block size eagerly before the first trace
+            # (reset() holds the resolution logic; params is per-call here)
+            est.params = params
+            est.reset(frames1)
+        return _jitted(params, frames1, frames2)
 
     return pipeline

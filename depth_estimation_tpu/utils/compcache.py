@@ -56,6 +56,12 @@ def enable_persistent_cache(cache_dir: str | None = None,
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_seconds))
+        # the cache instance binds its directory lazily at the first
+        # compile and ignores later config updates — reset it so a
+        # mid-process redirect (tests, tooling) actually takes effect
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc)
+        _cc.reset_cache()
     except Exception:
         return None
     return cache_dir

@@ -57,20 +57,29 @@ def load_exported(path_or_bytes):
 
 def export_flow_forward(geometry: Geometry, params, path: str | None = None,
                         dtype=jnp.float32) -> bytes:
-    """Flagship single-scale forward (models/flow.py forward_fused) with
-    ``params`` embedded: artifact signature (hImg, wImg, 3) x2 ->
-    (idx, ey, ex, pmax). ``dtype`` = matcher feature storage (bf16 is the
-    in-budget inference option, README quality table)."""
-    from .models.flow import FlowModel, crop_features_center
-    from .ops import matching
+    """Flow forward with ``params`` embedded. Single-scale geometry:
+    models/flow.py forward_fused, artifact signature (hImg, wImg, 3) x2 ->
+    (idx, ey, ex, pmax); multiscale geometry: the full-image multiscale
+    WTA decode (decode_full), signature -> (flow_y, flow_x) int32 maps.
+    ``dtype`` = matcher feature storage / staged-decode compute type (bf16
+    is the single-scale in-budget inference option, README)."""
     g = geometry
-    model = FlowModel(g)
+    if g.multiscale:
+        from .models.multiscale import MultiscaleFlowModel
+        model = MultiscaleFlowModel(g)
 
-    def forward(img1, img2):
-        f1 = crop_features_center(g, model.features(params, img1))
-        f2 = model.features(params, img2)
-        return matching.match_flow_fused(f1, f2, g.maxh, g.maxw, 8, False,
-                                         False, dtype)
+        def forward(img1, img2):
+            return model.decode_full(params, img1, img2)
+    else:
+        from .models.flow import FlowModel, crop_features_center
+        from .ops import matching
+        model = FlowModel(g)
+
+        def forward(img1, img2):
+            f1 = crop_features_center(g, model.features(params, img1))
+            f2 = model.features(params, img2)
+            return matching.match_flow_fused(f1, f2, g.maxh, g.maxw, 8,
+                                             False, False, dtype)
 
     ex = jnp.zeros((g.hImg, g.wImg, 3), jnp.float32)
     return export_jitted(forward, (ex, ex), path)

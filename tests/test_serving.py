@@ -86,3 +86,30 @@ def test_cli_export(tmp_path):
     want = jax.jit(model.forward_fused)(params, img1, img2)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multiscale_export_roundtrip(tmp_path):
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+
+    g = Geometry(hImg=24, wImg=32, layers=((3, 5, 5, 6),), maxh=4, maxw=4,
+                 multiscale=True, ratios=(1, 2))
+    model = MultiscaleFlowModel(g)
+    params = model.init(jax.random.PRNGKey(4))
+
+    path = str(tmp_path / "ms.stablehlo")
+    serving.export_flow_forward(g, params, path)
+    re = serving.load_exported(path)
+
+    rng = np.random.RandomState(5)
+    img1 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3), jnp.float32)
+    got = re.call(img1, img2)
+    want = jax.jit(model.decode_full)(params, img1, img2)
+    for a, b in zip(got, want):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            # embedding the weights as constants changes XLA fusion order
+            # slightly (measured 1.5e-8 max) — physical equality, not bitwise
+            np.testing.assert_allclose(a, b, atol=1e-6)

@@ -138,7 +138,13 @@ def main(argv=None) -> int:
         # full tunnel round-trip each (see training/train.py)
         losses = jax.device_get(losses)
         accs = jax.device_get(accs)
-        print(f"epoch {epoch}: loss {np.mean(losses):.4f} acc {np.mean(accs):.3f}")
+        if losses:
+            print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
+                  f"acc {np.mean(accs):.3f}")
+        else:
+            # fewer patches than one batch — nothing trained this epoch
+            print(f"epoch {epoch}: no full batch "
+                  f"({len(ts)} patches < batch_size {bs})")
         # weights-only save, format version 1
         # (/root/reference/radial/radial_opticalflow_network.lua:122-132)
         import flax.serialization

@@ -250,7 +250,12 @@ class BatchedDepthEstimator:
         self._prep = _prep
         self._prep_fn = _prep.__wrapped__          # unjitted (for sharding)
         self._step_fn = _step                      # unjitted (for sharding)
-        self._step = jax.jit(_step)
+        # donate the stream state: last_u/last_feats are dead after the
+        # step (next_frames replaces them), so XLA reuses their buffers for
+        # the new state in place — halves the state HBM footprint, which is
+        # what bounds the stream count at large B. (CPU backends that can't
+        # donate just warn and copy; correctness is unchanged.)
+        self._step = jax.jit(_step, donate_argnums=(1, 2))
         self.last_u = None
         self.last_feats = None
 

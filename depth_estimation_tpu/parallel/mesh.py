@@ -155,7 +155,9 @@ def sharded_pipeline_step(est, mesh: Mesh, axis: str = "dp"):
         out_specs=P(axis),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    # same state-donation rule as the unsharded step (api_batched):
+    # per-device state shards are dead after the step
+    return jax.jit(mapped, donate_argnums=(1, 2))
 
 
 def spatial_sharded_multiscale_fn(model, mesh: Mesh, axis: str = "sp"):

@@ -129,12 +129,13 @@ def _run():
             raise SystemExit(f"DE_TPU_BENCH_DTYPE={dt_name!r}: must be one "
                              f"of {sorted(dts)}")
         dt = dts[dt_name]
+        blk = int(os.environ.get("DE_TPU_BENCH_BLOCK", "32"))
         if kern == "fast":
             idx, ey, ex, pmax = matching.match_flow_fast(
-                f1, f2, g.maxh, g.maxw, 32, False, dt)
+                f1, f2, g.maxh, g.maxw, blk, False, dt)
         else:
             idx, ey, ex, pmax = matching.match_flow_fused(
-                f1, f2, g.maxh, g.maxw, 32, False, False, dt)
+                f1, f2, g.maxh, g.maxw, blk, False, False, dt)
         # depth from x-flow (translation magnitude m = 1)
         W = ex.shape[-1]
         cx = W / 2.0

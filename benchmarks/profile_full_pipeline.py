@@ -66,6 +66,11 @@ def main():
     pts, pvalid = corners(u1)
     print(f"corners (shi-tomasi+topk):   {timed(lambda: corners(u1))*1e3/B:.3f} ms/pair", flush=True)
 
+    corners_g = jax.jit(lambda a: ego.good_features_to_track_batched(
+        a, 400, 0.001, selector="grid"))
+    corners_g(u1)
+    print(f"corners (grid cell-argmax):  {timed(lambda: corners_g(u1))*1e3/B:.3f} ms/pair", flush=True)
+
     lk = jax.jit(lambda a, b, p: jax.vmap(ego.track_lk_windowed)(a, b, p))
     pts2, status = lk(u1, u2, pts)
     print(f"LK track:                    {timed(lambda: lk(u1, u2, pts))*1e3/B:.3f} ms/pair", flush=True)

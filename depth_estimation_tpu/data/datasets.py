@@ -740,16 +740,34 @@ def generate_polar_training_patches(
 ):
     """Polar patch sampler with mask + GT-mask rejection
     (generate_training_patches, radial_opticalflow_data.lua:306-343).
-    Returns (prev_patches, curr_patches, targets) with targets in [0, h_win)."""
+
+    Patches are exactly (h_patch, w_patch) with h_patch = hKernel + hWin - 1
+    — the trainer network produces ONE matcher output row per patch
+    (getTrainerNetwork's Reshape(hWin)) and the target is the GT at that
+    row's receptive-field center, hOffset = ceil(hKernel/2) - 1, matching
+    the reference sampler. (A prior revision sliced h_patch + hWin - 1
+    rows, giving hWin output rows against single-row targets — the trainer
+    head optimized a misaligned objective; exposed by the dossier's radial
+    quality row.) Deviation: the reference reads the GT at the patch's
+    LEFT column (wOffset = 0); we read it at the output column's
+    receptive-field center, which is what the flow value at the output
+    pixel actually is. Masks must be valid over the whole prev patch
+    (mask_patch:lt(0.1):sum() == 0).
+
+    Returns (prev_patches, curr_patches, targets) with targets in
+    [0, h_win)."""
     H, W = pair.polar_image.shape[:2]
+    h_kernel = h_patch - h_win + 1
+    h_off = (h_kernel + 1) // 2 - 1          # ceil(hKernel/2) - 1
+    w_off = w_patch // 2
     p1, p2, ts = [], [], []
     tries = 0
     while len(ts) < n and tries < n * 300:
         tries += 1
-        y = rng.randint(0, H - h_patch - h_win)
-        x = rng.randint(0, W - w_patch)
-        yc, xc = y + h_patch // 2, x + w_patch // 2
-        if pair.polar_mask[min(yc, H - 1), min(xc, W - 1)] < 0.5:
+        y = rng.randint(0, max(H - h_patch, 1))
+        x = rng.randint(0, max(W - w_patch, 1))
+        yc, xc = y + h_off, x + w_off
+        if pair.polar_mask[y:y + h_patch, x:x + w_patch].min() < 0.1:
             continue
         if pair.polar_gt_mask is not None:
             gx = min(xc, pair.polar_gt_mask.shape[1] - 1)
@@ -762,9 +780,8 @@ def generate_polar_training_patches(
         t = float(np.floor(t + 0.5))
         if not (0 <= t < h_win):
             continue
-        p1.append(pair.polar_prev_image[y:y + h_patch + h_win - 1,
-                                        x:x + w_patch])
-        p2.append(pair.polar_image[y:y + h_patch + h_win - 1, x:x + w_patch])
+        p1.append(pair.polar_prev_image[y:y + h_patch, x:x + w_patch])
+        p2.append(pair.polar_image[y:y + h_patch, x:x + w_patch])
         ts.append(int(t))
     if not ts:
         return None

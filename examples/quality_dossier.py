@@ -195,6 +195,96 @@ def multiscale_bf16_delta(geom, params, img1, img2):
     return outs
 
 
+def radial_quality(work: str, epochs: int = 40, n_train: int = 4000,
+                   h_win: int = 8, res: int = 64):
+    """Radial (polar 1-D) matcher quality row: train through the real CLI
+    (cli/train_radial.main) on a synthetic forward-motion scene — two
+    depth planes zooming outward from the center epipole, the
+    test_radial_opticalflow regime
+    (/root/reference/radial/test_radial_opticalflow.lua) — then score
+    HELD-OUT patches from the final, never-trained-on pair: patch accuracy
+    (the reference's own train/test metric,
+    radial/train_radial_opticalflow.lua) and mean |WTA - target| radial
+    EPE in polar pixels."""
+    import jax
+    import jax.numpy as jnp
+    import flax.serialization
+    from PIL import Image
+    from depth_estimation_tpu.flow.celiu import bilinear_sample, gaussian_smooth
+    from depth_estimation_tpu.geometry import Geometry
+    from depth_estimation_tpu.geometry3d import calibration as calmod
+    from depth_estimation_tpu.cli import train_radial
+    from depth_estimation_tpu.data import datasets as ds_mod
+    from depth_estimation_tpu.models.radial import RadialFlowNetwork
+
+    cal = calmod.PRESETS["rectified_gopro_small"]
+    H, W = cal.hImg, cal.wImg
+    rng = np.random.RandomState(11)
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(H, W, 3).astype(np.float32)), 0.8, 2))
+    base = np.clip(base * 1.5, 0, 1).astype(np.float32)
+
+    def forward_step(img, s_top, s_bottom):
+        cy, cx = H / 2, W / 2
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        s = np.where(yy < cy, s_top, s_bottom)
+        xs = cx + (xx - cx) / s
+        ys = cy + (yy - cy) / s
+        return np.asarray(bilinear_sample(jnp.asarray(img),
+                                          jnp.asarray(xs), jnp.asarray(ys)))
+
+    seq = os.path.join(work, "radial_seq", "images")
+    os.makedirs(seq, exist_ok=True)
+    n_frames = 7
+    frames = []
+    img = base
+    for i in range(n_frames):
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(seq, f"{i:09d}.png"))
+        frames.append(img)
+        img = forward_step(img, 1.03, 1.06)
+
+    net_spec = "[[3,5,5,10],'tanh']"
+    omd = os.path.join(work, "models_radial")
+    weights = os.path.join(omd, f"e{epochs - 1}.msgpack")
+    if not os.path.exists(weights):
+        # train on frames 0..4 only (pairs 0-1 .. 3-4); 5->6 is held out
+        rc = train_radial.main([
+            "-rd", work, "-ds", "radial_seq", "-cal", cal.name,
+            "-ni", "5", "-hi", str(res), "-wi", str(res),
+            "-hwin", str(h_win), "-net", net_spec,
+            "-n", str(n_train), "-e", str(epochs), "-omd", omd])
+        assert rc == 0, "radial training failed"
+
+    net = RadialFlowNetwork(
+        ((3, 5, 5, 10), "tanh"), h_win)
+    params = net.init(jax.random.PRNGKey(0))
+    with open(weights, "rb") as f:
+        params = flax.serialization.from_bytes(params, f.read())
+
+    # held-out pair through the SAME loader + patch sampler as training
+    geom_gt = Geometry(hImg=H, wImg=W, layers=((3, 16, 16, 768),),
+                       maxh=16, maxw=16, maxhGT=16, maxwGT=16,
+                       hKernelGT=16, wKernelGT=16)
+    pair = ds_mod.load_polar_pair(cal, frames[5], frames[6], H, W, res, res,
+                                  net.w_kernel, geom_gt=geom_gt,
+                                  max_flow=h_win - 1)
+    assert pair.good, "held-out pair rejected by the loader"
+    h_patch = net.h_kernel + h_win - 1
+    got = ds_mod.generate_polar_training_patches(
+        pair, h_patch, net.w_kernel, h_win, 800, np.random.RandomState(99))
+    assert got, "no held-out patches"
+    p1, p2, ts = got
+    logp = jax.vmap(lambda a, b: net.log_scores(params, jnp.asarray(a),
+                                                jnp.asarray(b)))(p1, p2)
+    pred = np.asarray(jnp.argmax(logp.reshape(logp.shape[0], -1), -1))
+    acc = float((pred == ts).mean())
+    epe = float(np.abs(pred - ts).mean())
+    return {"epochs": epochs, "held_out_patches": int(len(ts)),
+            "patch_acc": round(acc, 4),
+            "mean_radial_epe_px": round(epe, 4)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=14)
@@ -205,7 +295,28 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--train-size", type=int, default=3000)
     ap.add_argument("--out", default=os.path.join(HERE, "_dossier_work"))
+    ap.add_argument("--radial-only", action="store_true",
+                    help="compute just the radial quality row and merge it "
+                         "into the existing quality_dossier.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "overrides JAX_PLATFORMS; must be set before "
+                         "backend init)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.radial_only:
+        os.makedirs(args.out, exist_ok=True)
+        row = radial_quality(args.out)
+        path = os.path.join(HERE, "quality_dossier.json")
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data["radial"] = row
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps({"radial": row}, indent=1))
+        return
 
     import jax.numpy as jnp
     from depth_estimation_tpu.geometry3d import calibration as calmod

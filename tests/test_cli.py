@@ -73,7 +73,12 @@ def test_radial_cli_end_to_end(tmp_path):
     for i in range(3):
         Image.fromarray((np.clip(frame, 0, 1) * 255).astype(np.uint8)).save(
             d / f"{i:09d}.png")
-        frame = forward_step(frame, 1.03, 1.10)
+        # two DISTINCT depth planes (a single uniform zoom = planar scene
+        # = degenerate essential geometry), both zooming hard enough that
+        # the radial flow dominates tracking noise — with the fixture's
+        # strict corner gate the epipole stays near the principal point
+        # and the polar warp's valid disc covers the frame
+        frame = forward_step(frame, 1.05, 1.10)
 
     from depth_estimation_tpu.cli import train_radial
     rc = train_radial.main([
@@ -92,15 +97,21 @@ def test_radial_cli_end_to_end(tmp_path):
 def register_test_calibrations():
     import dataclasses
     from depth_estimation_tpu.geometry3d import calibration as calmod
+    # stricter corner-quality gate than the gopro presets (0.001 vs
+    # 0.0001): on small smoothed-noise textures the weak corners the loose
+    # gate admits track badly and tilt the estimated translation — the
+    # epipole wanders off-center and the polar warp's valid disc collapses
+    sfm = dataclasses.replace(calmod.RECTIFIED_GOPRO_SMALL.sfm,
+                              max_points=400, points_quality=0.001)
     calmod.PRESETS["test64x80"] = dataclasses.replace(
         calmod.RECTIFIED_GOPRO_SMALL, name="test64x80", wImg=80, hImg=64,
-        fx=120.0, fy=120.0, cx=40.0, cy=32.0)
+        fx=120.0, fy=120.0, cx=40.0, cy=32.0, sfm=sfm)
     calmod.PRESETS["test128x160"] = dataclasses.replace(
         calmod.RECTIFIED_GOPRO_SMALL, name="test128x160", wImg=160, hImg=128,
-        fx=200.0, fy=200.0, cx=80.0, cy=64.0)
+        fx=200.0, fy=200.0, cx=80.0, cy=64.0, sfm=sfm)
     calmod.PRESETS["test64x64"] = dataclasses.replace(
         calmod.RECTIFIED_GOPRO_SMALL, name="test64x64", wImg=64, hImg=64,
-        fx=100.0, fy=100.0, cx=32.0, cy=32.0)
+        fx=100.0, fy=100.0, cx=32.0, cy=32.0, sfm=sfm)
     yield
     calmod.PRESETS.pop("test64x80", None)
     calmod.PRESETS.pop("test128x160", None)

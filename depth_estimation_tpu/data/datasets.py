@@ -574,12 +574,19 @@ def load_polar_pair_reference(
         gds = (conf > 0).astype(np.float32) * mask
         proj, gds = project_groundtruth(flow, gds, e2)
         if max_flow is not None:
-            proj, gds = saturate_groundtruth(proj, gds, max_flow)
+            # max_flow is in POLAR ROWS (hWin - 1); the projected GT is in
+            # cartesian radial pixels, so the saturation threshold converts
+            # by rmax/hInput (radial_opticalflow_data.lua:273)
+            proj, gds = saturate_groundtruth(
+                proj, gds, max_flow * float(rmax) / h_input)
         proj = proj * gds
         both = np.stack([proj, gds])[:, None]  # (2, 1, H, W) channel dim
         warped = np.asarray(polar_ops.warp_grid(
             jnp.asarray(np.moveaxis(both[:, 0], 0, -1)), grid))
-        p_gt = warped[..., 0]
+        # cartesian radial pixels -> polar rows: the polar warp maps
+        # r in [0, rmax] onto hInput rows, so a radial displacement of d
+        # pixels is d*hInput/rmax rows (radial_opticalflow_data.lua:278)
+        p_gt = warped[..., 0] * (h_input / float(rmax))
         p_gt_mask = (warped[..., 1] > 0.99).astype(np.float32)
     return PolarPair(p_img, p_prev, p_mask, e2, True, p_gt, p_gt_mask)
 
@@ -656,17 +663,24 @@ def _polar_gt_batch_device(flows_y, flows_x, confs, masks, e2s,
         projf = (fy * ys + fx * xs) / n
         proj = jnp.floor(projf + 0.5)
         gds = (conf > 0).astype(jnp.float32) * mask * (projf >= 0)
-        sat = (proj <= max_flow).astype(jnp.float32)
-        proj = proj * sat + (1 - sat) * max_flow
+        rmax = _rmax_traced(h_img, w_img, e2[0], e2[1])
+        # max_flow is in POLAR ROWS (hWin - 1); saturate in cartesian
+        # radial pixels at max_flow*rmax/hInput
+        # (radial_opticalflow_data.lua:273)
+        max_flow_cart = max_flow * rmax / h_input
+        sat = (proj <= max_flow_cart).astype(jnp.float32)
+        proj = jnp.where(sat > 0, proj, max_flow_cart)  # inf-safe clamp
         gds = gds * sat
         proj = proj * gds
-        rmax = _rmax_traced(h_img, w_img, e2[0], e2[1])
         grid = polar_ops.get_c2p_grid(w_img, h_img, w_input, h_input,
                                       e2[0], e2[1], lpadding=lp,
                                       rpadding=rp, rmax=rmax)
         both = jnp.stack([proj, gds], axis=-1)
         warped = polar_ops.warp_grid(both, grid)
-        return warped[..., 0], (warped[..., 1] > 0.99).astype(jnp.float32)
+        # cartesian radial pixels -> polar rows (hInput/rmax,
+        # radial_opticalflow_data.lua:278)
+        return (warped[..., 0] * (h_input / rmax),
+                (warped[..., 1] > 0.99).astype(jnp.float32))
 
     return jax.vmap(one)(flows_y, flows_x, confs, masks, e2s)
 

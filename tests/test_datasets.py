@@ -394,3 +394,85 @@ def test_batched_polar_loader_matches_per_pair(tmp_path):
         assert same_gt > 0.95, same_gt
         diff = np.abs(batched[k].polar_gt - single.polar_gt)
         assert diff.max() <= 1.0 + 1e-6, diff.max()
+
+
+def test_polar_gt_units_are_polar_rows():
+    """The warped GT must be in POLAR ROWS, not cartesian pixels: the polar
+    warp maps r in [0, rmax] onto hInput rows, so a radial displacement of
+    d cartesian pixels is d*hInput/rmax rows (the reference rescales
+    exactly so, radial_opticalflow_data.lua:273,278). For a two-plane zoom
+    about the image center the expected polar-row flow at polar row i is
+    analytically (s - 1)*i (radius r = i*rmax/hInput scales to s*r, and the
+    row rescale cancels rmax). A units regression (e.g. dropping the
+    hInput/rmax factor) multiplies the observed/expected slope by
+    rmax/hInput (~2.1 at these dims), far outside the tolerance — this is
+    the pin the batched-vs-reference equivalence test cannot provide, since
+    both paths share the scaling code path shape."""
+    from depth_estimation_tpu.flow.celiu import bilinear_sample, gaussian_smooth
+
+    H, W = 96, 128
+    s_top, s_bottom = 1.05, 1.10
+    rng = np.random.RandomState(5)
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(H, W, 3).astype(np.float32)), 0.8, 2))
+    base = np.clip(base * 1.5, 0, 1).astype(np.float32)
+
+    cy, cx = H / 2, W / 2
+
+    def forward_step(img):
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        s = np.where(yy < cy, s_top, s_bottom)
+        xs = cx + (xx - cx) / s
+        ys = cy + (yy - cy) / s
+        return np.asarray(bilinear_sample(jnp.asarray(img),
+                                          jnp.asarray(xs), jnp.asarray(ys)))
+
+    prev = base
+    curr = forward_step(prev)
+    # stricter corner gate: the default 0.0001 admits weak corners on
+    # smoothed-noise textures that tilt the translation estimate (same pin
+    # as the CLI test fixture)
+    cal = small_cal(H, W)
+    cal = dataclasses.replace(cal, sfm=dataclasses.replace(
+        cal.sfm, max_points=400, points_quality=0.001))
+    gg = Geometry(hImg=H, wImg=W, layers=((3, 8, 8, 8),),
+                  maxh=8, maxw=8, maxhGT=8, maxwGT=8,
+                  hKernelGT=8, wKernelGT=8)
+    hi = wi = 64
+    pair = datasets.load_polar_pair(cal, prev, curr, H, W, hi, wi, 5,
+                                    geom_gt=gg, max_flow=7.0)
+    assert pair.good
+    ex, ey = float(pair.e2[0]), float(pair.e2[1])
+    # the zoom is centered on the image center; the estimated epipole must
+    # land near it for the radial projection to capture the full flow
+    assert abs(ex - cx) < 12 and abs(ey - cy) < 12, (ex, ey)
+
+    import math
+    rmax = float(np.floor(math.sqrt(max(
+        ex**2 + ey**2, (W - ex)**2 + ey**2,
+        ex**2 + (H - ey)**2, (W - ex)**2 + (H - ey)**2))))
+    # polar outputs carry the angular wrap padding: column j of the padded
+    # image is angle index (j - lpadding) mod wInput
+    wk = 5
+    lp = (wk - 1) // 2
+    ii = np.arange(hi, dtype=np.float32)[:, None]
+    jj = (np.arange(wi + wk - 1, dtype=np.float32)[None, :] - lp) % wi
+    r = ii * (rmax / hi)
+    th = 2 * np.pi * jj / wi
+    ysrc = r * np.sin(th) + ey
+    s_plane = np.where(ysrc < cy, s_top, s_bottom)
+    expected = (s_plane - 1.0) * ii  # polar rows
+
+    valid = (pair.polar_gt_mask > 0.5)
+    # keep clear of the plane boundary (mixed-s flow) and the saturation
+    valid &= np.abs(ysrc - cy) > 6
+    valid &= expected < 5.5
+    valid &= ii + np.zeros_like(jj) > 8  # tiny radii: mostly rounding noise
+    assert valid.sum() > 300
+    err = np.abs(pair.polar_gt - expected)[valid]
+    assert np.mean(err) < 0.5, np.mean(err)
+    # units pin: the regression slope of observed on expected must be ~1
+    x = expected[valid]
+    y = pair.polar_gt[valid]
+    slope = float((x * y).sum() / (x * x).sum())
+    assert 0.8 < slope < 1.2, slope

@@ -166,6 +166,7 @@ def main(argv=None) -> int:
 
         bs = args.batch_size
         n = (len(train_c) // bs) * bs
+        history = []
         for epoch in range(args.num_epochs):
             order = np.arange(n)
             rng.shuffle(order)
@@ -190,6 +191,8 @@ def main(argv=None) -> int:
             print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
                   f"train acc {acc:.3f} test acc {tacc:.3f}")
             print("confusion:\n", conf)
+            history.append({"loss": float(np.mean(losses)),
+                            "train_acc": float(acc), "test_acc": tacc})
 
         # save with cutDepth/maxDepth metadata (:335-337)
         import flax.serialization
@@ -200,7 +203,12 @@ def main(argv=None) -> int:
             json.dump({"n_classes": disc.n_classes,
                        "cut_depth": disc.cut_depth,
                        "bin_step": disc.bin_step,
-                       "patch": PATCH}, f)
+                       "patch": PATCH,
+                       # per-epoch accuracy history (the reference prints
+                       # these per epoch, depth_estimation.lua:304-334; we
+                       # persist them so the quality dossier can report
+                       # final/best held-out accuracy)
+                       "score": history}, f)
 
     if args.input_image is not None:
         # inference-on-image (:340-404): forward the CNN fully-convolutionally

@@ -220,6 +220,9 @@ def test_legacy_depth_cli_end_to_end(tmp_path):
     assert rc == 0
     meta = json.load(open(os.path.join(out, "meta.json")))
     assert meta["n_classes"] == 2 and meta["cut_depth"] > 0
+    # per-epoch accuracy history persists for the quality dossier
+    assert len(meta["score"]) == 8
+    assert all(0.0 <= e["test_acc"] <= 1.0 for e in meta["score"])
     assert os.path.exists(os.path.join(out, "params.msgpack"))
     z = np.load(os.path.join(out, "depth_classes_000000000.npz"))
     cm = z["classes"]

@@ -134,9 +134,11 @@ def _ssh_lister(host):
             capture_output=True, text=True, timeout=30, check=True)
         entries = []
         for line in out.stdout.splitlines():
-            parts = line.split()
+            # with --time-style=+%F the name is everything after column 6
+            # (maxsplit keeps filenames containing spaces intact)
+            parts = line.split(None, 6)
             if len(parts) >= 7 and (line[0] == "d" or line[0] == "-"):
-                entries.append((parts[-1], parts[-2]))
+                entries.append((parts[6], parts[5]))
         return entries
     return lister
 
@@ -162,7 +164,11 @@ def cmd_download_interactive(args, lister=None, input_fn=input,
 
     path = args.remote_dir
     while True:
-        entries = lister(path)
+        try:
+            entries = lister(path)
+        except (FileNotFoundError, subprocess.SubprocessError) as e:
+            print(f"listing failed for {path}: {e}", file=sys.stderr)
+            return 1
         if entries is None or not entries:
             print("No files in specified directory")
             return 1

@@ -771,6 +771,9 @@ def generate_polar_training_patches(
     Returns (prev_patches, curr_patches, targets) with targets in
     [0, h_win)."""
     H, W = pair.polar_image.shape[:2]
+    if H < h_patch or W < w_patch:
+        raise ValueError(
+            f"polar image {H}x{W} smaller than the patch {h_patch}x{w_patch}")
     h_kernel = h_patch - h_win + 1
     h_off = (h_kernel + 1) // 2 - 1          # ceil(hKernel/2) - 1
     w_off = w_patch // 2
@@ -778,8 +781,11 @@ def generate_polar_training_patches(
     tries = 0
     while len(ts) < n and tries < n * 300:
         tries += 1
-        y = rng.randint(0, max(H - h_patch, 1))
-        x = rng.randint(0, max(W - w_patch, 1))
+        # randint's high bound is exclusive: +1 so the last valid origin
+        # (touching the largest radius, where radial flow is largest) is
+        # sampled too
+        y = rng.randint(0, H - h_patch + 1)
+        x = rng.randint(0, W - w_patch + 1)
         yc, xc = y + h_off, x + w_off
         if pair.polar_mask[y:y + h_patch, x:x + w_patch].min() < 0.1:
             continue

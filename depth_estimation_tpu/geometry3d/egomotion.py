@@ -48,18 +48,26 @@ def _box(img: jnp.ndarray, k: int) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _grid_dims(max_points: int, H: int, W: int) -> Tuple[int, int]:
-    """Factor max_points into the (gh, gw) cell grid whose aspect best
-    matches the image (gh * gw == max_points exactly — selection output
-    shape must be static)."""
+    """The (gh, gw) cell grid whose aspect best matches the image, with
+    gh * gw == max_points exactly when a reasonable factoring exists.
+    Counts with no divisor near the aspect target (primes etc.) would
+    degenerate to 1 x N full-height strips — exactly the spread failure
+    the grid selector exists to prevent — so those fall back to the
+    near-square grid with gh * gw >= max_points (a few extra cells; the
+    selection output is gh * gw slots, downstream masks by ``valid``)."""
     target = (max_points * H / max(W, 1)) ** 0.5
     gh = min((d for d in range(1, max_points + 1) if max_points % d == 0),
              key=lambda d: abs(d - target))
-    return gh, max_points // gh
+    if target / 2 <= gh <= target * 2:
+        return gh, max_points // gh
+    gh = max(int(round(target)), 1)
+    return gh, -(-max_points // gh)
 
 
 def _grid_select(score: jnp.ndarray, max_points: int, quality):
     """Sort-free corner selection: per-cell argmax over a grid of
-    max_points cells (selector='grid').
+    ~max_points cells (exactly max_points when it factors near the image
+    aspect; see _grid_dims) — selector='grid'.
 
     ``score`` (H, W, B) is the non-negative peak map (zero off-peak).
     Returns (pts (B, N, 2) as (x, y), valid (B, N)). lax.top_k over the
@@ -687,7 +695,6 @@ def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
                             key, lk_iters: int = 10,
                             n_samples: int = 64,
                             selector: str = "topk") -> EgoMotion:
-    B = imgs1.shape[0]
     pts, pvalid = good_features_to_track_batched(imgs1, max_points, quality,
                                                  selector=selector)
     # window-cached LK (track_lk_windowed): windows extracted once per
@@ -696,7 +703,6 @@ def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
         lambda a, b, p: track_lk_windowed(a, b, p, n_iters=lk_iters)
     )(imgs1, imgs2, pts)
     valid = pvalid & status
-    del B
     # ONE key shared across items (not split(key, B)): the RANSAC index
     # draws land on different points anyway (per-item corner sets), and it
     # makes results independent of how the batch is sliced — a dp-sharded

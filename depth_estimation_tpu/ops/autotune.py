@@ -25,7 +25,14 @@ import time
 
 CANDIDATES = (8, 16, 32, 48)
 
+# Bump when a matcher kernel changes in a way that can shift the fastest
+# block size: the persisted winners must be invalidated explicitly (the
+# compile cache invalidates itself on code changes; this store does not).
+TUNE_VERSION = 2
+
 _cache = None
+# winners from partial/failed sweeps: process-local only, never persisted
+_session_only: dict = {}
 
 
 def _store_path():
@@ -84,21 +91,31 @@ def _default_timer(fn, n: int = 5) -> float:
 def pick(key: str, run_candidate, candidates=CANDIDATES, timer=None) -> int:
     """Return the cached winner for ``key``, measuring each candidate via
     ``run_candidate(c)`` on a miss. Candidates that raise (e.g. exceed
-    scoped VMEM) are skipped."""
+    scoped VMEM) are skipped — but a sweep with ANY failure (a transient
+    tunnel error is indistinguishable from a deterministic resource limit)
+    is only cached in-process, never persisted: a winner written to disk
+    must come from a complete sweep."""
     cache = _load()
     if key in cache:
         return int(cache[key])
+    if key in _session_only:
+        return int(_session_only[key])
     timer = timer or _default_timer
-    best, best_t = None, float("inf")
+    best, best_t, failed = None, float("inf"), 0
     for c in candidates:
         try:
             t = timer(lambda: run_candidate(c))
         except Exception:
+            failed += 1
             continue
         if t < best_t:
             best, best_t = c, t
     if best is None:
+        # nothing measured at all: fall back for this process only
         best = candidates[0]
+    if failed:
+        _session_only[key] = int(best)
+        return int(best)
     cache[key] = int(best)
     _save()
     return int(best)
@@ -119,7 +136,8 @@ def best_block_rows(kernel: str, f1_shape, f2_shape, maxh: int, maxw: int,
     assert kernel in ("fused", "fast")
     dtype = dtype or jnp.float32
     dname = jnp.dtype(dtype).name
-    key = (f"{kernel}:{jax.default_backend()}:{tuple(f1_shape)}:"
+    key = (f"v{TUNE_VERSION}:jax{jax.__version__}:"
+           f"{kernel}:{jax.default_backend()}:{tuple(f1_shape)}:"
            f"{tuple(f2_shape)}:{maxh}x{maxw}:{dname}:"
            f"conf={int(want_conf)}")
     rng = np.random.RandomState(0)

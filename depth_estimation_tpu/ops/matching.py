@@ -360,7 +360,7 @@ def match_flow_fused(
 
 
 # ---------------------------------------------------------------------------
-# Fast Pallas kernel: norm-decomposed correlation, no softmax rescaling
+# Fast Pallas kernel: norm-decomposed correlation, flash-rescaled softmax
 # ---------------------------------------------------------------------------
 
 def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,

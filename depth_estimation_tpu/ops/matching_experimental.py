@@ -75,13 +75,19 @@ def _lanes_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
                          else cross + f1ks[k] * sk)
             n2s = n2_ref[pl.ds(dy, th), dx:dx + tw, :]
             t = 2.0 * cross - n2s - n1
-            e = jnp.exp(t)
-            s = s + e
-            sy = sy + e * (dy - halfh1).astype(jnp.float32)
-            sx = sx + e * (dx - halfw1)
             better = t > bm
             bi = jnp.where(better, d, bi)
-            bm = jnp.maximum(bm, t)
+            # flash-style running-max rescaling — the same underflow fix
+            # _fused/_fast carry (commit "Fix softmax underflow"): on
+            # trained features costs reach hundreds and raw exp(t) flushes
+            # to 0 for every cell, decoding NaN
+            bm_new = jnp.maximum(bm, t)
+            alpha = jnp.exp(bm - bm_new)
+            p = jnp.exp(t - bm_new)
+            s = s * alpha + p
+            sy = sy * alpha + p * (dy - halfh1).astype(jnp.float32)
+            sx = sx * alpha + p * (dx - halfw1)
+            bm = bm_new
             tmid = jnp.where(d == mid, t, tmid)
         return s, sy, sx, bi, bm, tmid
 
@@ -89,7 +95,7 @@ def _lanes_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
         0, maxh, dy_body, (s, sy, sx, bi, bm, tmid))
     tie = tmid >= bm
     idx_ref[...] = jnp.where(tie, mid, bi)
-    pmax_ref[...] = jnp.exp(bm) / s
+    pmax_ref[...] = 1.0 / s          # = exp(bm - bm) / sum exp(t - bm)
     py_ref[...] = sy / s
     px_ref[...] = sx / s
 

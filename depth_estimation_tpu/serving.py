@@ -66,7 +66,7 @@ def export_flow_forward(geometry: Geometry, params, path: str | None = None,
     g = geometry
     if g.multiscale:
         from .models.multiscale import MultiscaleFlowModel
-        model = MultiscaleFlowModel(g)
+        model = MultiscaleFlowModel(g, decode_dtype=dtype)
 
         def forward(img1, img2):
             return model.decode_full(params, img1, img2)

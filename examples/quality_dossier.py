@@ -503,7 +503,9 @@ def main():
     root, true_flow = make_warp_sequence(os.path.join(args.out, "seq"),
                                          n=args.frames)
 
-    results = {"sequence": {"frames": 8, "flow": [1, 2],
+    results = {"sequence": {"frames": args.frames,
+                            "flow": [int(true_flow[0, 0, 0]),
+                                     int(true_flow[1, 0, 0])],
                             "resolution": "180x320"}}
 
     runs = [

@@ -19,6 +19,7 @@ def tuned_store(tmp_path, monkeypatch):
     d = str(tmp_path / "cache")
     monkeypatch.setenv("DE_TPU_COMPILE_CACHE", d)
     monkeypatch.setattr(autotune, "_cache", None)
+    monkeypatch.setattr(autotune, "_session_only", {})
     yield d
     autotune._cache = None
 
@@ -54,6 +55,38 @@ def test_pick_skips_failing_candidates(tuned_store):
         return 1.0
 
     assert autotune.pick("k2", run, candidates=(8, 16), timer=timer) == 16
+
+
+def test_partial_sweep_not_persisted(tuned_store):
+    """A sweep with any failing candidate is answered in-process but never
+    written to disk — a transient tunnel error must not freeze a winner
+    measured from an incomplete sweep (nor an unmeasured fallback)."""
+    def run(c):
+        if c == 8:
+            raise RuntimeError("transient tunnel error")
+        return c
+
+    def timer(fn):
+        fn()
+        return 1.0
+
+    assert autotune.pick("k3", run, candidates=(8, 16), timer=timer) == 16
+
+    def exploding_timer(fn):
+        raise AssertionError("session cache must answer without re-measure")
+
+    assert autotune.pick("k3", run, candidates=(8, 16),
+                         timer=exploding_timer) == 16
+    p = os.path.join(tuned_store, "autotune.json")
+    assert not os.path.exists(p) or "k3" not in json.load(open(p))
+
+    # all candidates failing: fallback winner, same no-persist rule
+    def all_fail(c):
+        raise RuntimeError("device unreachable")
+
+    assert autotune.pick("k4", all_fail, candidates=(8, 16),
+                         timer=timer) == 8
+    assert not os.path.exists(p) or "k4" not in json.load(open(p))
 
 
 def test_estimator_auto_block_matches_fixed(tuned_store):

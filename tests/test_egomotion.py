@@ -261,6 +261,16 @@ def test_grid_selector_finds_planted_corners():
         assert d <= 2.0, ((y, x), got)
 
 
+def test_grid_dims_never_degenerate():
+    """Point budgets with no divisor near the aspect target (primes etc.)
+    must fall back to a near-square >=budget grid, not 1xN strips."""
+    for n in (401, 397, 2 * 199, 64, 400, 100):
+        gh, gw = egomotion._grid_dims(n, 180, 320)
+        assert gh * gw >= n
+        target = (n * 180 / 320) ** 0.5
+        assert target / 2 <= gh <= target * 2, (n, gh, gw)
+
+
 def test_grid_selector_batched_matches_single():
     rng = np.random.RandomState(7)
     from test_batched_pipeline import _texture

@@ -478,11 +478,14 @@ def main():
     if any(flag for _, flag, _ in only):
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(HERE, "quality_dossier.json")
-        data = json.load(open(path)) if os.path.exists(path) else {}
         done = {}
         for key, flag, fn in only:
             if flag:
-                data[key] = done[key] = fn(args.out)
+                done[key] = fn(args.out)
+        # load-merge-write only AFTER the (long) row computation: a stale
+        # read held across training would clobber rows written meanwhile
+        data = json.load(open(path)) if os.path.exists(path) else {}
+        data.update(done)
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
         print(json.dumps(done, indent=1))
@@ -604,7 +607,19 @@ def main():
     png = plot_learning_curves(curves_dir,
                                os.path.join(HERE, "quality_curves.png"))
 
-    with open(os.path.join(HERE, "quality_dossier.json"), "w") as f:
+    # merge OVER the existing JSON: the standalone rows (radial, version2,
+    # legacy_depth) are produced by separate --*-only runs and must survive
+    # a main-table regeneration
+    path = os.path.join(HERE, "quality_dossier.json")
+    merged = json.load(open(path)) if os.path.exists(path) else {}
+    merged.update(results)
+    # this run measured the bf16/f16 deltas itself: record the backend that
+    # produced them (policy flips use TPU-backed rows only, README)
+    import jax as _jax
+    merged["precision_table_backend"] = _jax.default_backend()
+    merged.pop("precision_table_note", None)
+    results = merged
+    with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
 

@@ -232,8 +232,11 @@ def main(argv=None) -> int:
         if geom.multiscale:
             score = {"test_acc": metrics["acc"], "test_err": metrics["loss"]}
         else:
+            # full-image eval on the pairs the GT belongs to: (warped prev,
+            # current) — see score_epoch's docstring
             score = score_epoch(model, state.params, geom, lrn, test_ds,
-                                currents, flows, args.n_images_test_set)
+                                list(zip(images, currents)), flows,
+                                args.n_images_test_set)
         score.update(metrics, epoch=epoch)
         history.append(score)
         print(f"epoch {epoch}: train loss {metrics['loss']:.4f} "

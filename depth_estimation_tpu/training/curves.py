@@ -23,9 +23,16 @@ from . import score as score_mod
 
 
 def score_epoch(model, params, geom: Geometry, lrn: Learning, test_ds,
-                images: Optional[list] = None, flows: Optional[list] = None,
+                pairs: Optional[list] = None, flows: Optional[list] = None,
                 n_images: int = 2) -> Dict:
-    """Returns {'test_acc', 'test_err', 'full_acc', 'full_meandst'}."""
+    """Returns {'test_acc', 'test_err', 'full_acc', 'full_meandst'}.
+
+    ``pairs``: list of (im1, im2) frame pairs; ``flows[k]`` is the GT flow
+    of ``pairs[k]`` — for the rectified datasets that is the (warped prev,
+    current) pair the GT was computed on, NOT two consecutive currents
+    (scoring currents[k] -> currents[k+1] against the warped[k] ->
+    currents[k] field reads ~0 accuracy on a model that is actually
+    near-exact on its own pairing)."""
     from ..models import flow as flow_model
 
     out: Dict = {}
@@ -39,13 +46,14 @@ def score_epoch(model, params, geom: Geometry, lrn: Learning, test_ds,
     out["test_err"] = float(-logp[np.arange(len(it)), it].mean())
 
     # full-image accuracy + meanDst (evalOpticalFlowFull, :115-134)
-    if images and flows:
+    if pairs and flows:
         accs, dsts = [], []
         for k in range(min(n_images, len(flows))):
             if flows[k] is None:
                 continue
-            dist = model.scores(params, jnp.asarray(images[k]),
-                                jnp.asarray(images[k + 1]))
+            im1, im2 = pairs[k]
+            dist = model.scores(params, jnp.asarray(im1),
+                                jnp.asarray(im2))
             dec = flow_model.process_output(geom, dist, process_full=True)
             s = score_mod.eval_flow(geom, np.asarray(dec.full), flows[k])
             accs.append(s.accuracy)
@@ -78,7 +86,12 @@ def backfill_scores(models_dir: str, test_ds, images: Optional[list] = None,
     (/root/reference/score_opticalflow.lua:136-214): for each checkpoint
     directory under ``models_dir`` with an empty 'score', rebuild the model,
     recompute score_epoch on the provided test set, and rewrite meta.json
-    with the backfilled history. Returns the repaired directory names."""
+    with the backfilled history. Returns the repaired directory names.
+
+    ``images``/``flows`` are the plain-sequence form (``flows[k]`` maps
+    ``images[k] -> images[k+1]``); they are paired up before scoring."""
+    pairs = ([(images[k], images[k + 1]) for k in range(len(images) - 1)]
+             if images else None)
     from ..models import flow as flow_model
     from ..models import io as model_io
 
@@ -97,7 +110,7 @@ def backfill_scores(models_dir: str, test_ds, images: Optional[list] = None,
             continue   # multiscale scores come from the fovea trainer
         model = flow_model.FlowModel(geom)
         score = score_epoch(model, params, geom, lrn, test_ds,
-                            images, flows, n_images)
+                            pairs, flows, n_images)
         score["epoch"] = meta.get("epoch", 0)
         score["backfilled"] = True
         meta["score"] = [score]

@@ -415,7 +415,12 @@ def legacy_depth_quality(work: str, epochs: int = 25, n_train: int = 2000,
             os.path.join(root, "images", f"{i:09d}.png"))
         xs = rng.randint(0, w, 150).astype(np.float32)
         ys = rng.randint(0, h, 150).astype(np.float32)
-        depth = np.where(xs < w // 2, 4.0, 40.0).astype(np.float32)
+        # far plane at 7 m, NOT some huge value: the reference's balanced
+        # sampler draws integer-depth bins only inside [0, 2*cutDepth)
+        # (groundtruth_discrete.lua:48-57; cutDepth = median depth = 5
+        # here), so a far plane beyond 2*cutDepth would be structurally
+        # unsampleable and the test set would collapse to the near class
+        depth = np.where(xs < w // 2, 4.0, 7.0).astype(np.float32)
         np.savez(os.path.join(root, "depths", f"{i:09d}.npz"),
                  x=xs, y=ys, depth=depth)
 

@@ -189,3 +189,37 @@ def test_backfill_scores_repairs_scoreless_checkpoints(tmp_path):
     assert 0.0 <= s["test_acc"] <= 1.0 and np.isfinite(s["test_err"])
     # second run is a no-op
     assert backfill_scores(str(mdir), ds, images, flows) == []
+
+
+def test_score_epoch_full_eval_scores_the_gt_pairing():
+    """score_epoch's full-image eval must run on the (im1, im2) pair each
+    GT field belongs to. Regression: the flow trainer passed consecutive
+    CURRENT frames while the GT mapped (warped prev -> current) — an
+    identity-filter model that is exact on its own pairing read ~0 full
+    accuracy (see score_epoch docstring)."""
+    from depth_estimation_tpu.models.filters import identity_filter_params
+    from depth_estimation_tpu.training.curves import score_epoch
+
+    g = Geometry(hImg=48, wImg=56, layers=((1, 5, 5, 25),),
+                 maxh=6, maxw=6, maxhGT=6, maxwGT=6,
+                 hKernelGT=5, wKernelGT=5)
+    rng = np.random.RandomState(3)
+    base = rng.rand(g.hImg + 12, g.wImg + 12, 1).astype(np.float32)
+    dy, dx = 1, -2
+    im1 = base[6:6 + g.hImg, 6:6 + g.wImg].copy()
+    # im1's patch at p reappears in im2 at p + (dy, dx): crop im2's window
+    # shifted the OPPOSITE way in source coordinates
+    im2 = base[6 - dy:6 - dy + g.hImg, 6 - dx:6 - dx + g.wImg].copy()
+    f = np.zeros((2, g.hImg, g.wImg), np.float32)
+    f[0], f[1] = dy, dx
+    ds = training.sample_patches(g, Learning(), [im1, im2], [f], None, 8,
+                                 np.random.RandomState(0))
+    model = flow_model.FlowModel(g)
+    params = identity_filter_params(g)
+    s = score_epoch(model, params, g, Learning(), ds, [(im1, im2)], [f])
+    assert s["full_acc"] == 1.0, s
+    assert s["full_meandst"] == 0.0, s
+    # the buggy pairing (a frame matched against itself here) must NOT
+    # score as if it solved the GT pair
+    s_bad = score_epoch(model, params, g, Learning(), ds, [(im2, im2)], [f])
+    assert s_bad["full_acc"] < 0.5, s_bad

@@ -104,21 +104,19 @@ def _run():
         small2 = scale_batched_device(frames2, g.hImg, g.wImg)
         f1 = crop_features_center(g, model.features(params, small1))
         f2 = model.features(params, small2)
-        # diff-form fused kernel + bf16 feature storage: the fastest
-        # combination whose quality budget is confirmed ON-CHIP
-        # (matcher-only at this shape: fused f32 0.328 -> fused bf16
-        # 0.229 -> fast bf16 0.209 ms/pair; the norm-decomposed fast
-        # path's bf16 budget is pending an on-chip precision re-measure —
-        # quality dossier — so the headline benches what production
-        # ships today: fused bf16, 0.05 px delta).
-        # f16 STORAGE is the probe candidate (DE_TPU_BENCH_KERNEL/_DTYPE):
-        # same 2-byte loads, 10 mantissa bits — fast+f16 measures 0.0065 px
-        # on a trained model IN INTERPRET MODE; becoming the default needs
-        # Mosaic to run it at bf16 speed AND the precision table re-run on
-        # the chip (interpret precision has disagreed with the chip before
-        # — fast bf16). block_rows=32 measured fastest (0.240@8 / 0.229@32 /
-        # 0.306@48, 64 exceeds scoped VMEM at B=128).
-        kern = os.environ.get("DE_TPU_BENCH_KERNEL", "fused")
+        # norm-decomposed fast kernel + bf16 feature storage: the fastest
+        # combination, and IN BUDGET on-chip since the in-kernel-norms fix
+        # (0.0516 px mean EPE delta on a trained model = the bf16 storage
+        # floor, identical to fused-bf16; the earlier 1.03 px on-chip
+        # reading was XLA's excess-precision pass eliding the host-side
+        # quantize-once — see _fast_kernel's docstring). Headline measured
+        # 3414 fps fast-bf16 vs 2874 fused-bf16 at this shape.
+        # f16 STORAGE is NOT an option on this hardware: v5e Mosaic
+        # rejects it outright ("Unsupported type in mosaic dialect: 'f16'");
+        # the f16 rows in the quality dossier are interpret-only probes.
+        # block_rows=32 measured fastest for 'fast' (64 exceeds scoped
+        # VMEM at B=128); 'fused' remains the bit-parity/conf-gate kernel.
+        kern = os.environ.get("DE_TPU_BENCH_KERNEL", "fast")
         if kern not in ("fused", "fast"):
             raise SystemExit(f"DE_TPU_BENCH_KERNEL={kern!r}: must be "
                              f"'fused' or 'fast'")

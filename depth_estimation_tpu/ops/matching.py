@@ -363,7 +363,7 @@ def match_flow_fused(
 # Fast Pallas kernel: norm-decomposed correlation, flash-rescaled softmax
 # ---------------------------------------------------------------------------
 
-def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
+def _fast_kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref,
                  pmax_ref, *, maxh: int, maxw: int, mid: int, th: int):
     """ALU-lean variant of _fused_kernel.
 
@@ -374,17 +374,34 @@ def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
     maps reach costs of hundreds, exp(-cost) flushes to zero for every
     cell and s = 0 poisons the decode with NaNs (caught by the quality
     dossier on a trained model) — so the softmax accumulators use the same
-    flash-style running-max rescaling as _fused_kernel. Floating point
-    caveat: the decomposition rounds differently from direct diff^2 (at
-    f32-rounding level, given the quantize-once discipline in
-    match_flow_fast), so near-exact ties can decode to a neighboring
-    cell; use _fused_kernel for bit-parity with the reference.
+    flash-style running-max rescaling as _fused_kernel.
+
+    The norms are computed IN-KERNEL, from the same (possibly
+    reduced-precision) VMEM refs the cross terms read. This is load-bearing,
+    not a convenience: the decomposition only telescopes back to
+    |f1 - f2|^2 when all three terms see identical feature values, and
+    host-side "quantize once then upcast" is silently destroyed by XLA's
+    excess-precision optimization on TPU (--xla_allow_excess_precision,
+    set by the runtime): under jit, astype(bf16).astype(f32) is elided
+    OUTSIDE the pallas_call, so precomputed norms saw UNQUANTIZED features
+    while the kernel's cross terms saw quantized ones — O(|f|^2 eps_bf16)
+    residuals, measured 1.03 px mean EPE on a trained model vs 0.05 px for
+    storage-only error (quality dossier, on-chip). Inside the kernel the
+    buffers are physically bf16, so the rounding cannot be elided.
+
+    Floating point caveat: the decomposition rounds differently from
+    direct diff^2 (at f32-rounding level), so near-exact ties can decode
+    to a neighboring cell; use _fused_kernel for bit-parity with the
+    reference.
     """
     K = f1_ref.shape[0]
     W = f1_ref.shape[2]
     f1 = f1_ref[...]
-    n1 = n1_ref[...]
     f2 = f2_ref[...]
+    f1f = f1.astype(jnp.float32)
+    n1 = jnp.sum(f1f * f1f, axis=0)                      # (th, W)
+    f2f = f2.astype(jnp.float32)
+    n2 = jnp.sum(f2f * f2f, axis=0)                      # (rows2, W2)
 
     halfh1 = math.ceil(maxh / 2) - 1
     halfw1 = math.ceil(maxw / 2) - 1
@@ -397,7 +414,6 @@ def _fast_kernel(f1_ref, n1_ref, f2_ref, n2_ref, idx_ref, py_ref, px_ref,
     bm = jnp.full((th, W), neg_inf, jnp.float32)
     tmid = jnp.zeros((th, W), jnp.float32)
 
-    n2 = n2_ref[...]
     # dx outer so the expensive lane-dimension shift happens once per dx
     # (16x) instead of once per displacement (256x); dy slices inside touch
     # only sublane/repeat dims.
@@ -452,25 +468,12 @@ def match_flow_fast(
 
     f1t = jnp.transpose(f1, (0, 3, 1, 2)).astype(dtype)
     f2t = jnp.transpose(f2, (0, 3, 1, 2)).astype(dtype)
-    # norms from the SAME rounded values, in f32: the decomposition
-    # cost = n1 + n2 - 2 cross only telescopes back to |f1 - f2|^2 when
-    # all three terms see identical feature values. Exact-f32 norms mixed
-    # with bf16-rounded cross products leave O(|f|^2 eps_bf16) residuals
-    # that swamp small costs on trained (large-magnitude) feature maps —
-    # measured 1.36 px mean EPE error vs 0.05 px for the fused kernel.
-    # With quantize-once + all-f32 arithmetic (this code), the remaining
-    # fast-vs-fused disagreement is bounded at f32-rounding level:
-    # interpret mode measures 0.052 px for bf16 (equal to fused-bf16,
-    # i.e. pure storage quantization). An earlier ON-CHIP dossier run
-    # recorded ~1.0 px — most likely measured before this fix landed —
-    # so production bf16 stays match_flow_fused (0.05 px confirmed
-    # on-chip) until examples/refresh_precision_table.py is re-run on
-    # the chip and supersedes that row (quality dossier,
-    # precision_table_backend).
-    f1r = f1t.astype(jnp.float32)
-    f2r = f2t.astype(jnp.float32)
-    n1 = jnp.sum(f1r * f1r, axis=1)                      # (B, H, W)
-    n2 = jnp.sum(f2r * f2r, axis=1)                      # (B, H2, W2)
+    # The norms are computed INSIDE the kernel from the same reduced-
+    # precision refs the cross terms read (see _fast_kernel's docstring):
+    # a host-side quantize-once (astype(dtype).astype(f32)) is elided by
+    # XLA's excess-precision pass on TPU, which silently fed UNQUANTIZED
+    # norms against quantized cross terms — 1.03 px mean EPE on a trained
+    # model (on-chip dossier) vs the 0.05 px storage-quantization floor.
 
     sub = 16 if dtype == jnp.bfloat16 else 8
     th = max(sub, (min(block_rows, H) // sub) * sub)
@@ -483,10 +486,8 @@ def match_flow_fast(
     padw = W2 - W2r
     if pad1 > 0:
         f1t = jnp.pad(f1t, ((0, 0), (0, 0), (0, pad1), (0, 0)))
-        n1 = jnp.pad(n1, ((0, 0), (0, pad1), (0, 0)))
     if pad2 > 0 or padw > 0:
         f2t = jnp.pad(f2t, ((0, 0), (0, 0), (0, max(pad2, 0)), (0, padw)))
-        n2 = jnp.pad(n2, ((0, 0), (0, max(pad2, 0)), (0, padw)))
 
     mid = (math.ceil(maxh / 2) - 1) * maxw + (math.ceil(maxw / 2) - 1)
     out_shape = [
@@ -496,31 +497,23 @@ def match_flow_fast(
         jax.ShapeDtypeStruct((B, n_blocks * th, W), jnp.float32),
     ]
 
-    def kernel(f1_ref, n1_ref, f2_ref, n2_ref,
-               idx_ref, py_ref, px_ref, pmax_ref):
+    def kernel(f1_ref, f2_ref, idx_ref, py_ref, px_ref, pmax_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
 
-        def body(slab, nslab, sem, nsem):
+        def body(slab, sem):
             dma = pltpu.make_async_copy(
                 f2_ref.at[b, :, pl.ds(pl.multiple_of(i * th, sub), slab_rows), :],
                 slab, sem)
             dma.start()
-            dma2 = pltpu.make_async_copy(
-                n2_ref.at[b, pl.ds(pl.multiple_of(i * th, sub), slab_rows), :],
-                nslab, nsem)
-            dma2.start()
             dma.wait()
-            dma2.wait()
-            _fast_kernel(f1_ref.at[0], n1_ref.at[0], slab, nslab,
+            _fast_kernel(f1_ref.at[0], slab,
                          idx_ref.at[0], py_ref.at[0], px_ref.at[0],
                          pmax_ref.at[0],
                          maxh=maxh, maxw=maxw, mid=mid, th=th)
         pl.run_scoped(
             body,
             pltpu.VMEM((K, slab_rows, W2), dtype),
-            pltpu.VMEM((slab_rows, W2), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         )
 
@@ -529,9 +522,6 @@ def match_flow_fast(
         in_specs=[
             pl.BlockSpec((1, K, th, W), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, W), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -543,7 +533,7 @@ def match_flow_fast(
 
     idx, ey, ex, pmax = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec, interpret=interpret,
-    )(f1t, n1, f2t, n2)
+    )(f1t, f2t)
     if pad1 > 0:
         idx, ey, ex, pmax = (a[:, :H] for a in (idx, ey, ex, pmax))
     if squeeze:

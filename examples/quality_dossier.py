@@ -165,18 +165,26 @@ def bf16_epe_deltas(geom, params, img1, img2):
 
     ref = flow_of(matching.match_flow_fused, 8, False, False, jnp.float32)
     outs = {}
-    for name, fl in (
-        ("fused_bf16", flow_of(matching.match_flow_fused, 8, False, False,
-                               jnp.bfloat16)),
-        ("fused_f16", flow_of(matching.match_flow_fused, 8, False, False,
-                              jnp.float16)),
-        ("fast_f32", flow_of(matching.match_flow_fast, 32, False,
-                             jnp.float32)),
-        ("fast_bf16", flow_of(matching.match_flow_fast, 32, False,
-                              jnp.bfloat16)),
-        ("fast_f16", flow_of(matching.match_flow_fast, 32, False,
-                             jnp.float16)),
+    for name, thunk in (
+        ("fused_bf16", lambda: flow_of(matching.match_flow_fused, 8, False,
+                                       False, jnp.bfloat16)),
+        ("fused_f16", lambda: flow_of(matching.match_flow_fused, 8, False,
+                                      False, jnp.float16)),
+        ("fast_f32", lambda: flow_of(matching.match_flow_fast, 32, False,
+                                     jnp.float32)),
+        ("fast_bf16", lambda: flow_of(matching.match_flow_fast, 32, False,
+                                      jnp.bfloat16)),
+        ("fast_f16", lambda: flow_of(matching.match_flow_fast, 32, False,
+                                     jnp.float16)),
     ):
+        try:
+            fl = thunk()
+        except Exception as e:  # noqa: BLE001 — record per-row, keep going
+            # measured on v5e: Mosaic rejects f16 storage outright
+            # ("Unsupported type in mosaic dialect: 'f16'") — the f16
+            # probe rows exist only in interpret mode on this hardware
+            outs[name] = {"unsupported": str(e).splitlines()[0][:160]}
+            continue
         d = np.sqrt(((fl - ref) ** 2).sum(0))
         outs[name] = {"mean_epe_delta_px": round(float(d.mean()), 4),
                       "p99_epe_delta_px": round(float(np.percentile(d, 99)), 4)}
@@ -199,7 +207,11 @@ def multiscale_bf16_delta(geom, params, img1, img2):
     for name, dtype in (("multiscale_staged_bf16", jnp.bfloat16),
                         ("multiscale_staged_f16", jnp.float16)):
         m = MultiscaleFlowModel(geom, decode_dtype=dtype)
-        idx16, _ = m.decode_full(params, i1, i2)
+        try:
+            idx16, _ = m.decode_full(params, i1, i2)
+        except Exception as e:  # noqa: BLE001 — v5e Mosaic rejects f16
+            outs[name] = {"unsupported": str(e).splitlines()[0][:160]}
+            continue
         y16, x16 = codecs.decode(geom, idx16)
         d = np.sqrt((np.asarray(y32 - y16) ** 2
                      + np.asarray(x32 - x16) ** 2))
@@ -413,13 +425,18 @@ def legacy_depth_quality(work: str, epochs: int = 25, n_train: int = 2000,
         img += rng.rand(h, w).astype(np.float32) * 0.05
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(root, "images", f"{i:09d}.png"))
-        xs = rng.randint(0, w, 150).astype(np.float32)
-        ys = rng.randint(0, h, 150).astype(np.float32)
         # far plane at 7 m, NOT some huge value: the reference's balanced
         # sampler draws integer-depth bins only inside [0, 2*cutDepth)
-        # (groundtruth_discrete.lua:48-57; cutDepth = median depth = 5
-        # here), so a far plane beyond 2*cutDepth would be structurally
-        # unsampleable and the test set would collapse to the near class
+        # (groundtruth_discrete.lua:48-57), so a far plane beyond
+        # 2*cutDepth would be structurally unsampleable and the test set
+        # would collapse to the near class. The near half gets a
+        # DETERMINISTIC point majority (90 vs 60) so the median-depth rule
+        # always puts cutDepth at 5 (> half the mass strictly below it) —
+        # with an even split, cutDepth can land at 8 and ceil(7/8) folds
+        # the far plane into class 1 as well
+        xs = np.concatenate([rng.randint(0, w // 2, 90),
+                             rng.randint(w // 2, w, 60)]).astype(np.float32)
+        ys = rng.randint(0, h, 150).astype(np.float32)
         depth = np.where(xs < w // 2, 4.0, 7.0).astype(np.float32)
         np.savez(os.path.join(root, "depths", f"{i:09d}.npz"),
                  x=xs, y=ys, depth=depth)

@@ -44,11 +44,12 @@ def timed(fn, n, per):
 
 def main():
     ap = argparse.ArgumentParser()
-    # B=32 is the measured-best dispatch size on one v5e chip: the 4-tap
-    # feature gathers (parity warp, LK windows) cost MORE per pair at B=64
-    # (fast 504 -> 439 fps, parity 199 -> 110 fps) — gather issue rate does
-    # not scale with batch the way the matmul stages do
-    ap.add_argument("--batch", type=int, default=32)
+    # Measured-best dispatch sizes on one v5e chip: 128 for the fast and
+    # banded modes (the Pallas banded warp removed the gather that used to
+    # cap scaling — banded 573@32 -> 643@64 -> 660@128, fast 711 -> 845 ->
+    # 894); the strict gather-warp parity mode still prefers 32 (gather
+    # issue rate does not scale with batch: 278@32 -> 212@128)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--head", default="mean", choices=("mean", "max"))
     ap.add_argument("--dtype", default="bfloat16",
                     choices=("float32", "bfloat16", "float16"),
@@ -85,7 +86,7 @@ def main():
     model = FlowModel(g)
     params = model.init(jax.random.PRNGKey(0))
 
-    B = args.batch
+    B = args.batch or (128 if (args.fast or args.warp_banded) else 32)
     est = BatchedDepthEstimator(
         g, params, ARDRONE, head=args.head,
         match_dtype={"bfloat16": jnp.bfloat16, "float16": jnp.float16,

@@ -93,7 +93,12 @@ def main(only=None):
             step = mk(fn, dtype)
             try:
                 dt = timed(lambda: step(p1, c1, c2), 10, B)
-            except Exception as e:  # noqa: BLE001 — v5e Mosaic rejects f16
+            except Exception as e:  # noqa: BLE001 — f16 probe only:
+                # v5e Mosaic rejects f16; any OTHER row's failure is an
+                # infra error and must not silently change which kernel
+                # config1 records
+                if dtype is not jnp.float16:
+                    raise
                 print(f"config 1 single-scale 320x180 17x17 ({label}): "
                       f"unsupported ({str(e).splitlines()[0][:80]})",
                       flush=True)

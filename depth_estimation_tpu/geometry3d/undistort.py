@@ -133,18 +133,17 @@ def remove_ego_motion_banded(imgs: jnp.ndarray, K, R,
     The reduced-precision storage option (``dtype``) keeps the XLA form —
     bf16 measured NO speedup here (not bandwidth-bound), so the kernel is
     f32-only."""
-    if dtype is None and jax.default_backend() == "tpu":
+    # guard on the ACTUAL array dtype too: bf16 stream state
+    # (state_dtype=bf16) must not reach the f32-tuned kernel, whose slab
+    # DMAs are 8-sublane-aligned (bf16 needs 16 — the Mosaic trap)
+    if (dtype is None and imgs.dtype == jnp.float32
+            and jax.default_backend() == "tpu"):
         from ..ops.warp import banded_bilinear_warp
-        B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+        H, W = imgs.shape[1], imgs.shape[2]
         xs, ys = homography_grid(K, R, H, W)
         out = banded_bilinear_warp(imgs, xs, ys, band)
-        jj = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-        ii = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-        eps = 1e-3
-        ok = ((xs >= -eps) & (xs <= W - 1 + eps)
-              & (ys >= -eps) & (ys <= H - 1 + eps)
-              & (jnp.abs(xs - jj) <= band) & (jnp.abs(ys - ii) <= band))
-        return out * ok[..., None]
+        # same jit: XLA CSEs the homography grid between warp and mask
+        return out * ego_motion_valid_mask(K, R, H, W, band=band)[..., None]
     return _remove_ego_motion_banded_xla(imgs, K, R, band, dtype)
 
 

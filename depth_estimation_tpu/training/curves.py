@@ -143,11 +143,15 @@ def plot_learning_curves(models_dir: str, out_path: str,
     return out_path
 
 
-def sweep_thresholds(model, params, geom: Geometry, images, flows,
+def sweep_thresholds(model, params, geom: Geometry, pairs, flows,
                      thresholds=(0.0, 0.2, 0.4, 0.6, 0.8)) -> List[Dict]:
     """Confidence-threshold sweep over full-image decoding
     (do_score_opticalflow.lua:55-83): per threshold, the fraction of pixels
-    kept and their accuracy."""
+    kept and their accuracy.
+
+    ``pairs[k]`` is the (im1, im2) frame pair ``flows[k]`` belongs to —
+    the same explicit-pair contract as score_epoch (for rectified datasets
+    that is (warped prev, current), NOT two consecutive currents)."""
     from ..models import flow as flow_model
 
     results = []
@@ -157,8 +161,9 @@ def sweep_thresholds(model, params, geom: Geometry, images, flows,
         for k in range(len(flows)):
             if flows[k] is None:
                 continue
-            dist = model.scores(params, jnp.asarray(images[k]),
-                                jnp.asarray(images[k + 1]))
+            im1, im2 = pairs[k]
+            dist = model.scores(params, jnp.asarray(im1),
+                                jnp.asarray(im2))
             dec = flow_model.process_output(geom, dist, process_full=True,
                                             threshold=thr)
             hb, wb = score_mod.borders(geom)

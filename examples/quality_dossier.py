@@ -179,11 +179,20 @@ def bf16_epe_deltas(geom, params, img1, img2):
     ):
         try:
             fl = thunk()
-        except Exception as e:  # noqa: BLE001 — record per-row, keep going
-            # measured on v5e: Mosaic rejects f16 storage outright
-            # ("Unsupported type in mosaic dialect: 'f16'") — the f16
-            # probe rows exist only in interpret mode on this hardware
-            outs[name] = {"unsupported": str(e).splitlines()[0][:160]}
+        except Exception as e:  # noqa: BLE001 — see filter below
+            # Only the f16 rows may legitimately fail: v5e Mosaic rejects
+            # f16 storage outright ("Unsupported type in mosaic dialect:
+            # 'f16'" — the tunnel may wrap that message in an HTTP-500
+            # envelope, so match on the row, not the text). Any other
+            # row's failure is an infra error and must NOT be recorded as
+            # "unsupported" — a transient compile-service 500 on the
+            # PRODUCTION kernel's row would silently corrupt the
+            # TPU-backed table policy flips are based on.
+            if "f16" not in name or "bf16" in name:
+                raise
+            msg = next((ln for ln in str(e).splitlines()
+                        if "Unsupported type" in ln), str(e).splitlines()[0])
+            outs[name] = {"unsupported": msg.strip()[:160]}
             continue
         d = np.sqrt(((fl - ref) ** 2).sum(0))
         outs[name] = {"mean_epe_delta_px": round(float(d.mean()), 4),
@@ -209,8 +218,13 @@ def multiscale_bf16_delta(geom, params, img1, img2):
         m = MultiscaleFlowModel(geom, decode_dtype=dtype)
         try:
             idx16, _ = m.decode_full(params, i1, i2)
-        except Exception as e:  # noqa: BLE001 — v5e Mosaic rejects f16
-            outs[name] = {"unsupported": str(e).splitlines()[0][:160]}
+        except Exception as e:  # noqa: BLE001 — f16 row only (see
+            # bf16_epe_deltas: infra errors on other rows must re-raise)
+            if dtype is not jnp.float16:
+                raise
+            msg = next((ln for ln in str(e).splitlines()
+                        if "Unsupported type" in ln), str(e).splitlines()[0])
+            outs[name] = {"unsupported": msg.strip()[:160]}
             continue
         y16, x16 = codecs.decode(geom, idx16)
         d = np.sqrt((np.asarray(y32 - y16) ** 2
@@ -223,7 +237,9 @@ def multiscale_bf16_delta(geom, params, img1, img2):
 
 
 def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
-                   h_win: int = 8, res: int = 96, lr: float = 0.03):
+                   h_win: int = 8, res: int = 96, lr: float = 0.03,
+                   noise: float = 0.0,
+                   net_spec: str = "[[3,5,5,10],'tanh']"):
     """Radial (polar 1-D) matcher quality row: train through the real CLI
     (cli/train_radial.main) on a synthetic forward-motion scene — two
     depth planes zooming outward from the center epipole, the
@@ -238,7 +254,15 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
     ceiling set by cc-GT noise + polar resampling; the learned 10-channel
     matcher is expected to approach it (measured: within ~2% patch acc),
     not beat it, since the inputs carry no photometric noise for learned
-    features to filter."""
+    features to filter.
+
+    ``noise`` > 0 adds per-frame INDEPENDENT Gaussian pixel noise (sigma
+    in [0,1] image units) to every saved frame, train and held-out alike
+    — the regime where learned features earn their keep: the cc-GT's
+    16x16 patches average the noise out (targets stay usable), raw-pixel
+    SSD on the matcher's small windows does not, and the trained filters
+    learn to smooth. This is the ``radial_noisy`` dossier row; the
+    learned matcher is expected to BEAT the raw-SSD baseline here."""
     import jax
     import jax.numpy as jnp
     import flax.serialization
@@ -266,33 +290,40 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
         return np.asarray(bilinear_sample(jnp.asarray(img),
                                           jnp.asarray(xs), jnp.asarray(ys)))
 
-    seq = os.path.join(work, "radial_seq", "images")
+    ds_name = "radial_seq_noisy" if noise else "radial_seq"
+    seq = os.path.join(work, ds_name, "images")
     os.makedirs(seq, exist_ok=True)
     n_frames = 7
     frames = []
     img = base
     for i in range(n_frames):
-        Image.fromarray((img * 255).astype(np.uint8)).save(
+        save = img
+        if noise:
+            save = np.clip(img + rng.randn(H, W, 3).astype(np.float32)
+                           * noise, 0, 1)
+        Image.fromarray((save * 255).astype(np.uint8)).save(
             os.path.join(seq, f"{i:09d}.png"))
-        frames.append(img)
+        frames.append(save)
         # strong two-plane zoom: radial flow spans most of the hWin window
         # after the cartesian->polar-row rescale (hInput/rmax ~ 0.37 here)
         img = forward_step(img, 1.06, 1.12)
 
-    net_spec = "[[3,5,5,10],'tanh']"
-    omd = os.path.join(work, "models_radial")
+    omd = os.path.join(work, "models_radial_noisy" if noise
+                       else "models_radial")
     weights = os.path.join(omd, f"e{epochs - 1}.msgpack")
     if not os.path.exists(weights):
         # train on frames 0..4 only (pairs 0-1 .. 3-4); 5->6 is held out
         rc = train_radial.main([
-            "-rd", work, "-ds", "radial_seq", "-cal", cal.name,
+            "-rd", work, "-ds", ds_name, "-cal", cal.name,
             "-ni", "5", "-hi", str(res), "-wi", str(res),
             "-hwin", str(h_win), "-net", net_spec, "-r", str(lr),
             "-n", str(n_train), "-e", str(epochs), "-omd", omd])
         assert rc == 0, "radial training failed"
 
-    net = RadialFlowNetwork(
-        ((3, 5, 5, 10), "tanh"), h_win)
+    import ast
+    layers = tuple(x if isinstance(x, str) else tuple(x)
+                   for x in ast.literal_eval(net_spec))
+    net = RadialFlowNetwork(layers, h_win)
     params = net.init(jax.random.PRNGKey(0))
     with open(weights, "rb") as f:
         params = flax.serialization.from_bytes(params, f.read())
@@ -326,11 +357,14 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
         w = int(np.argmin(ss))
         ssd_hits += int(w == t)
         ssd_err += abs(w - int(t))
-    return {"epochs": epochs, "held_out_patches": int(len(ts)),
-            "patch_acc": round(acc, 4),
-            "mean_radial_epe_px": round(epe, 4),
-            "raw_ssd_patch_acc": round(ssd_hits / len(ts), 4),
-            "raw_ssd_epe_px": round(ssd_err / len(ts), 4)}
+    out = {"epochs": epochs, "held_out_patches": int(len(ts)),
+           "patch_acc": round(acc, 4),
+           "mean_radial_epe_px": round(epe, 4),
+           "raw_ssd_patch_acc": round(ssd_hits / len(ts), 4),
+           "raw_ssd_epe_px": round(ssd_err / len(ts), 4)}
+    if noise:
+        out["noise_sigma"] = noise
+    return out
 
 
 def v2_quality(work: str, epochs: int = 30, n_train: int = 3000):
@@ -480,6 +514,10 @@ def main():
     ap.add_argument("--radial-only", action="store_true",
                     help="compute just the radial quality row and merge it "
                          "into the existing quality_dossier.json")
+    ap.add_argument("--radial-noisy-only", action="store_true",
+                    help="the radial row on a photometric-noise scene "
+                         "(sigma 0.08) — the regime where learned features "
+                         "beat raw-pixel SSD")
     ap.add_argument("--v2-only", action="store_true",
                     help="compute just the version2 network quality row")
     ap.add_argument("--legacy-only", action="store_true",
@@ -495,6 +533,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     only = [("radial", args.radial_only, radial_quality),
+            ("radial_noisy", args.radial_noisy_only,
+             lambda work: radial_quality(
+                 work, epochs=240, n_train=8000, noise=0.15,
+                 net_spec="[[3,5,5,10],'tanh',[10,5,5,10]]")),
             ("version2", args.v2_only, v2_quality),
             ("legacy_depth", args.legacy_only, legacy_depth_quality)]
     if any(flag for _, flag, _ in only):

@@ -61,7 +61,7 @@ def test_sweep_thresholds():
     im1 = np.roll(im2, -1, axis=0)
     gtf = np.zeros((2, g.hImg, g.wImg), np.float32)
     gtf[0] = 1.0
-    res = sweep_thresholds(model, params, g, [im1, im2], [gtf],
+    res = sweep_thresholds(model, params, g, [(im1, im2)], [gtf],
                            thresholds=(0.0, 0.5))
     assert len(res) == 2
     assert res[0]["kept_frac"] >= res[1]["kept_frac"]

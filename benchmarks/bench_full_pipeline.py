@@ -69,7 +69,10 @@ def main():
     ap.add_argument("--corners", default=None, choices=("topk", "grid"),
                     help="corner selection rule (default: topk parity; "
                          "grid = sort-free per-cell argmax, rotation "
-                         "agreement tested)")
+                         "agreement tested). Measured same-day on the "
+                         "chip: grid 906.0 vs topk 903.9 fps in fast mode "
+                         "at B=128 — a wash, so the parity topk rule "
+                         "stays the recorded default")
     args = ap.parse_args()
     assert not (args.fast and args.warp_banded)
 

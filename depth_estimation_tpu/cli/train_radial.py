@@ -36,6 +36,15 @@ def build_parser():
     p.add_argument("-bs", "--batch-size", type=int, default=32)
     p.add_argument("-omd", "--output-model-dir", default="models_radial")
     p.add_argument("-mf", "--max-flow", type=float, default=None)
+    p.add_argument("-sl", "--scene-length", type=int, default=0,
+                   help="frames per scene when the dataset dir holds "
+                        "several back-to-back recordings: pairs crossing "
+                        "a scene boundary are dropped deterministically. "
+                        "Counts loaded (post--delta) frames. 0 = one "
+                        "continuous sequence. The ego-motion inlier gate "
+                        "alone is not a seam detector — an essential "
+                        "matrix fits unrelated-texture LK tracks above "
+                        "the bad-frame threshold surprisingly often.")
     return p
 
 
@@ -82,13 +91,16 @@ def main(argv=None) -> int:
         return 1
     # batched loader: the whole ego-motion/polar-warp/GT stack for every
     # pair runs in a handful of device programs (load_polar_pairs_batched)
-    pairs = [p for p in ds_mod.load_polar_pairs_batched(
+    sl = args.scene_length
+    pairs = [p for k, p in enumerate(ds_mod.load_polar_pairs_batched(
         cal, frames, cal.hImg, cal.wImg,
         args.h_input, args.w_input, net.w_kernel,
-        geom_gt=geom_gt, max_flow=max_flow) if p.good]
+        geom_gt=geom_gt, max_flow=max_flow))
+        if p.good and (not sl or k // sl == (k + 1) // sl)]
     if not pairs:
         print("no usable pairs", file=sys.stderr)
         return 1
+    print(f"{len(pairs)}/{len(frames) - 1} pairs usable")
 
     rng = np.random.RandomState(0)
     h_patch = net.h_kernel + args.h_win - 1

@@ -3,6 +3,7 @@ the radial trainer, score_epoch/learning curves, and the microbenchmark."""
 
 import json
 import os
+import re
 
 import numpy as np
 import pytest
@@ -91,6 +92,53 @@ def test_radial_cli_end_to_end(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(tmp_path / "mr" / "e0.msgpack")
+
+
+def test_radial_cli_scene_length_drops_seam_pairs(tmp_path, capsys):
+    """--scene-length deterministically drops pairs that straddle scene
+    boundaries in a multi-scene dataset dir. The ego-motion inlier gate is
+    NOT a seam detector (measured on the dossier's noisy corpus: all five
+    unrelated-texture seam pairs passed it), hence the explicit flag."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu.flow.celiu import bilinear_sample, gaussian_smooth
+    from PIL import Image
+    H, W = 128, 160
+
+    def forward_step(img, s_top, s_bottom):
+        cy, cx = H / 2, W / 2
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        s = np.where(yy < cy, s_top, s_bottom)
+        xs = cx + (xx - cx) / s
+        ys = cy + (yy - cy) / s
+        return np.asarray(bilinear_sample(jnp.asarray(img),
+                                          jnp.asarray(xs), jnp.asarray(ys)))
+
+    d = tmp_path / "seq" / "images"
+    os.makedirs(d)
+    rng = np.random.RandomState(0)
+    for s in range(2):                      # two unrelated 3-frame scenes
+        frame = np.clip(np.asarray(gaussian_smooth(
+            jnp.asarray(rng.rand(H, W, 3).astype(np.float32)), 0.8, 2))
+            * 1.5, 0, 1).astype(np.float32)
+        for i in range(3):
+            Image.fromarray((np.clip(frame, 0, 1) * 255).astype(
+                np.uint8)).save(d / f"{s * 3 + i:09d}.png")
+            frame = forward_step(frame, 1.05, 1.10)
+
+    from depth_estimation_tpu.cli import train_radial
+    rc = train_radial.main([
+        "-rd", str(tmp_path / "seq"), "-cal", "test128x160",
+        "-net", "[[3,5,5,8]]", "-hwin", "5", "-hi", "100", "-wi", "100",
+        "-ni", "6", "-n", "64", "-e", "1", "-bs", "16", "-sl", "3",
+        "-omd", str(tmp_path / "mr"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # 5 consecutive pairs; pair (frame2, frame3) straddles the seam and
+    # must be dropped regardless of what the inlier gate thinks of it
+    m = re.search(r"(\d+)/5 pairs usable", out)
+    assert m, out
+    assert int(m.group(1)) <= 4
 
 
 @pytest.fixture(autouse=True)

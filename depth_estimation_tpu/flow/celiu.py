@@ -123,10 +123,54 @@ def _gather_hw(img: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray) -> jnp.ndarra
     return out.reshape(yy.shape + (C,))
 
 
-def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                    packed: bool = False) -> jnp.ndarray:
     """Sample img (..., H, W, C) at continuous (x, y) (..., Hs, Ws) with
     clamped corners (ImageProcessing::BilinearInterpolate, clamp via
-    EnforceRange). Leading batch dims of img and x/y must match."""
+    EnforceRange). Leading batch dims of img and x/y must match.
+
+    ``packed=True`` selects the packed-tap TPU formulation: the four taps
+    live in ONE edge-padded (H, W, 4C) table so a single gather fetches
+    them all — TPU gather cost is bound by index-processing rate, not row
+    bytes. Value-exact vs the four-tap form (proven per call shape by
+    tests/test_celiu.py::test_packed_bilinear_matches_four_tap):
+    coordinates are pre-clamped per axis, which collapses every
+    out-of-range tap onto the same edge pixel the per-tap clamping
+    produced (the blend of equal taps is the tap, whatever the fraction),
+    and the edge pad reproduces the +1-tap clamp at the last row/column.
+
+    Where each form wins (measured): packed took the celiu solve from
+    34.1 to 10.9 ms/pair (the warp + pyramid resamples were 61% of it —
+    benchmarks/profile_celiu.py) and is the celiu-internal default; the
+    four-tap form stays the global default because at the full pipeline's
+    warp shape (B=32, 180x320, C=10) packing measured SLOWER (278 -> 220
+    fps — 40-channel rows push the gather into its byte-bound regime),
+    and because packing changes XLA fusion rounding at the ulp level,
+    which knife-edge RANSAC consumers (the rectification loaders) amplify
+    into visibly different inlier sets."""
+    if packed:
+        H, W = img.shape[-3], img.shape[-2]
+        x = jnp.clip(x, 0, W - 1)
+        y = jnp.clip(y, 0, H - 1)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        dx = (x - x0)[..., None]
+        dy = (y - y0)[..., None]
+
+        pr = _axpad(img.ndim, -2, 0, 1)      # pad one column at the right
+        pd = _axpad(img.ndim, -3, 0, 1)      # pad one row at the bottom
+        xr = jnp.pad(img, pr, mode="edge")[..., :, 1:, :]
+        yd = jnp.pad(img, pd, mode="edge")[..., 1:, :, :]
+        xyd = jnp.pad(xr, pd, mode="edge")[..., 1:, :, :]
+        table = jnp.concatenate([img, xr, yd, xyd], axis=-1)
+
+        t = _gather_hw(table, y0, x0)
+        C = img.shape[-1]
+        t00, t10, t01, t11 = (t[..., :C], t[..., C:2 * C],
+                              t[..., 2 * C:3 * C], t[..., 3 * C:])
+        return ((1 - dx) * (1 - dy) * t00 + dx * (1 - dy) * t10
+                + (1 - dx) * dy * t01 + dx * dy * t11)
+
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     dx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
@@ -155,7 +199,7 @@ def imresize(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
     lead = img.shape[:-3]
     xx = jnp.broadcast_to(xx, lead + xx.shape)
     yy = jnp.broadcast_to(yy, lead + yy.shape)
-    return bilinear_sample(img, xx, yy)
+    return bilinear_sample(img, xx, yy, packed=True)
 
 
 def warp_image(im1: jnp.ndarray, im2: jnp.ndarray,
@@ -168,7 +212,7 @@ def warp_image(im1: jnp.ndarray, im2: jnp.ndarray,
     i = jnp.arange(H, dtype=jnp.float32)[:, None]
     x = j + vx
     y = i + vy
-    warped = bilinear_sample(im2, x, y)
+    warped = bilinear_sample(im2, x, y, packed=True)
     oob = (x < 0) | (x > W - 1) | (y < 0) | (y > H - 1)
     return jnp.where(oob[..., None], im1, warped)
 
@@ -200,35 +244,47 @@ def warp_image_bicubic(im1: jnp.ndarray, im2: jnp.ndarray,
     i = jnp.arange(H, dtype=jnp.float32)[:, None]
     x = j + vx
     y = i + vy
+    oob = (x < 0) | (x > W - 1) | (y < 0) | (y > H - 1)
+    # pre-clamp before floor: out-of-range pixels are overwritten by im1
+    # below, and for in-range coordinates the clamp is the identity, so
+    # the packed single gather (see bilinear_sample) stays value-exact
+    x = jnp.clip(x, 0, W - 1)
+    y = jnp.clip(y, 0, H - 1)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     dx = (x - x0)[..., None]
     dy = (y - y0)[..., None]
-    x0c = jnp.clip(x0, 0, W - 1)
-    x1c = jnp.clip(x0 + 1, 0, W - 1)
-    y0c = jnp.clip(y0, 0, H - 1)
-    y1c = jnp.clip(y0 + 1, 0, H - 1)
 
     hx = _hermite(dx)
     hy = _hermite(dy)
 
-    def corner(yy, xx):
-        return (_gather_hw(im2, yy, xx), _gather_hw(fx, yy, xx),
-                _gather_hw(fy, yy, xx), _gather_hw(fxy, yy, xx))
+    # all 16 taps (4 Hermite tables x 4 corners) packed into one (H, W,
+    # 16C) edge-padded table: ONE index-rate-bound gather instead of 16
+    G = jnp.concatenate([im2, fx, fy, fxy], axis=-1)
+    pr = _axpad(G.ndim, -2, 0, 1)
+    pd = _axpad(G.ndim, -3, 0, 1)
+    Gx = jnp.pad(G, pr, mode="edge")[..., :, 1:, :]
+    Gy = jnp.pad(G, pd, mode="edge")[..., 1:, :, :]
+    Gxy = jnp.pad(Gx, pd, mode="edge")[..., 1:, :, :]
+    packed = jnp.concatenate([G, Gx, Gy, Gxy], axis=-1)
+    t = _gather_hw(packed, y0, x0)
 
+    C = im1.shape[-1]
     out = jnp.zeros_like(im1)
-    # corners in (x index, y index) order: (0,0), (1,0), (0,1), (1,1)
-    for ix, xx in enumerate((x0c, x1c)):
-        for iy, yy in enumerate((y0c, y1c)):
-            f, gx, gy, gxy = corner(yy, xx)
-            # basis: value/deriv pair per axis — h0*/h1* select the corner
-            bxv = hx[0] if ix == 0 else hx[2]
-            bxd = hx[1] if ix == 0 else hx[3]
-            byv = hy[0] if iy == 0 else hy[2]
-            byd = hy[1] if iy == 0 else hy[3]
-            out = out + (bxv * byv * f + bxd * byv * gx
-                         + bxv * byd * gy + bxd * byd * gxy)
-    oob = (x < 0) | (x > W - 1) | (y < 0) | (y > H - 1)
+    # corner blocks in the packed order: (x0,y0), (x0+1,y0), (y0+1,x0),
+    # (x0+1,y0+1); within each block: value, d/dx, d/dy, d2/dxdy tables
+    for bi, (ix, iy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        f = t[..., bi * 4 * C + 0 * C:bi * 4 * C + 1 * C]
+        gx = t[..., bi * 4 * C + 1 * C:bi * 4 * C + 2 * C]
+        gy = t[..., bi * 4 * C + 2 * C:bi * 4 * C + 3 * C]
+        gxy = t[..., bi * 4 * C + 3 * C:bi * 4 * C + 4 * C]
+        # basis: value/deriv pair per axis — h0*/h1* select the corner
+        bxv = hx[0] if ix == 0 else hx[2]
+        bxd = hx[1] if ix == 0 else hx[3]
+        byv = hy[0] if iy == 0 else hy[2]
+        byd = hy[1] if iy == 0 else hy[3]
+        out = out + (bxv * byv * f + bxd * byv * gx
+                     + bxv * byd * gy + bxd * byd * gxy)
     out = jnp.where(oob[..., None], im1, out)
     return jnp.clip(out, 0.0, 1.0)
 

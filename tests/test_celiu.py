@@ -330,3 +330,26 @@ def test_batched_solver_matches_single_gmm_bicubic():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(vb[0]), np.asarray(vs),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_bilinear_matches_four_tap():
+    """The packed-tap gather (one edge-padded (H, W, 4C) table, one gather)
+    must be value-exact vs the four-tap form for every coordinate class:
+    interior, fractional edge, exactly-on-edge, and far out-of-range (the
+    celiu solver's warps run packed; everything else runs four-tap —
+    see bilinear_sample's docstring for where each form wins)."""
+    rng = np.random.RandomState(7)
+    for shape in [(7, 9, 3), (2, 7, 9, 5), (13, 17, 1)]:
+        img = jnp.asarray(rng.rand(*shape).astype(np.float32))
+        H, W = shape[-3], shape[-2]
+        lead = shape[:-3]
+        x = jnp.asarray(
+            (rng.rand(*lead, 20, 30) * (W + 6) - 3).astype(np.float32))
+        y = jnp.asarray(
+            (rng.rand(*lead, 20, 30) * (H + 6) - 3).astype(np.float32))
+        # exact-edge coordinates exercise the dx=0 tap collapse
+        x = x.at[..., 0, 0].set(W - 1.0).at[..., 0, 1].set(0.0)
+        y = y.at[..., 0, 0].set(H - 1.0).at[..., 0, 1].set(0.0)
+        a = celiu.bilinear_sample(img, x, y, packed=False)
+        b = celiu.bilinear_sample(img, x, y, packed=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

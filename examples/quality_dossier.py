@@ -100,7 +100,8 @@ def make_warp_sequence(out_dir: str, n: int = 8):
 
 
 def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
-          n_frames: int = 8, n_train: int = 3000, lr: float = 0.02):
+          n_frames: int = 8, n_train: int = 3000, lr: float = 0.02,
+          share_filters: bool = True):
     from depth_estimation_tpu.cli import opticalflow
 
     args = [
@@ -123,11 +124,61 @@ def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
         "--output-model-dir", out,
     ]
     if multiscale:
-        args += ["--multiscale", str(multiscale), "--share-filters"]
+        args += ["--multiscale", str(multiscale)]
+        if share_filters:
+            args += ["--share-filters"]
     rc = opticalflow.main(args)
     assert rc == 0
     (name,) = os.listdir(out)
     return os.path.join(out, name)
+
+
+def ms_unshared_quality(work: str, epochs: int = 400, n_frames: int = 8,
+                        n_train: int = 3000):
+    """Multiscale row WITHOUT filter sharing (per-scale filters — the
+    reference's share_filters=false branch,
+    opticalflow_model_multiscale.lua:219-225): trains through the same
+    CLI/sequence as the main multiscale row and scores the same held-out
+    pair. Purpose: the main row's plateau (~0.35 patch acc) is attributed
+    in the README to the foveated design's quantization + the 5x5 shared
+    filter's capacity — this row measures how much of that is the SHARING
+    specifically. Records ``multiscale_ccGT_unshared``."""
+    import jax.numpy as jnp
+    from depth_estimation_tpu import codecs
+    from depth_estimation_tpu.models import io as model_io
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+    from depth_estimation_tpu.training import score as score_mod
+    from PIL import Image
+
+    _register_dossier_cal()
+    root, true_flow = make_warp_sequence(os.path.join(work, "seq"),
+                                         n=n_frames)
+    mdir = os.path.join(work, "models_multiscale_ccGT_unshared")
+    if not os.path.exists(mdir):
+        mpath = train(root, mdir, epochs, "cross-correlation", multiscale=3,
+                      n_frames=n_frames, n_train=n_train,
+                      share_filters=False)
+    else:
+        mpath = os.path.join(mdir, os.listdir(mdir)[0])
+
+    meta = json.load(open(os.path.join(mpath, "meta.json")))
+    hist = meta["score"]
+    k6, k7 = n_frames - 2, n_frames - 1
+    f6 = np.asarray(Image.open(os.path.join(
+        root, "images", f"{k6:09d}.png")), np.float32) / 255.0
+    f7 = np.asarray(Image.open(os.path.join(
+        root, "images", f"{k7:09d}.png")), np.float32) / 255.0
+    geom, _, params, _ = model_io.load_model(mpath)
+    model = MultiscaleFlowModel(geom)
+    idx, _ = model.decode_full(params, jnp.asarray(f6), jnp.asarray(f7))
+    wy, wx = codecs.decode(geom, idx)
+    full = np.stack([np.asarray(wy, np.float32), np.asarray(wx, np.float32)])
+    s = score_mod.eval_flow(geom, full, true_flow)
+    return {"epochs": len(hist),
+            "final_patch_acc": round(hist[-1]["test_acc"], 4),
+            "best_patch_acc": round(max(h["test_acc"] for h in hist), 4),
+            "full_acc_analytic": round(s.accuracy, 4),
+            "meanDst_analytic": round(s.mean_dst, 4)}
 
 
 def full_image_scores(model, geom, params, img1, img2, gts):
@@ -617,6 +668,10 @@ def main():
     ap.add_argument("--legacy-only", action="store_true",
                     help="compute just the legacy depth-classifier quality "
                          "row")
+    ap.add_argument("--ms-unshared-only", action="store_true",
+                    help="multiscale row without filter sharing (the "
+                         "share_filters=false branch) — measures how much "
+                         "of the main row's plateau is the sharing")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "overrides JAX_PLATFORMS; must be set before "
@@ -644,7 +699,9 @@ def main():
                  net_spec="[[3,5,5,10],'tanh',[10,5,5,10]]",
                  n_frames=4, zoom=(1.045, 1.085), n_scenes=6)),
             ("version2", args.v2_only, v2_quality),
-            ("legacy_depth", args.legacy_only, legacy_depth_quality)]
+            ("legacy_depth", args.legacy_only, legacy_depth_quality),
+            ("multiscale_ccGT_unshared", args.ms_unshared_only,
+             ms_unshared_quality)]
     if any(flag for _, flag, _ in only):
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(HERE, "quality_dossier.json")

@@ -37,7 +37,8 @@ def model_dir_name(geom: Geometry, learning: Learning) -> str:
         f"model={layers}",
         f"win={geom.maxh}x{geom.maxw}",
         f"img={geom.hImg}x{geom.wImg}",
-        f"ms={'-'.join(map(str, geom.ratios)) if geom.multiscale else 'no'}",
+        f"ms={'-'.join(map(str, geom.ratios)) if geom.multiscale else 'no'}"
+        + ("" if not geom.multiscale or geom.share_filters else ",sf=0"),
         f"head={geom.output_extraction_method}",
         f"crit={learning.criterion}",
         f"lr={learning.rate}",

@@ -251,17 +251,33 @@ class MultiscaleFlowModel:
     def init(self, rng) -> dict:
         g = self.geometry
         dummy = jnp.zeros((g.hPatch2, g.wPatch2, g.in_channels), jnp.float32)
-        params = self.filter.init(rng, dummy)
+        if g.share_filters:
+            params = self.filter.init(rng, dummy)
+        else:
+            # share_filters=false branch: an independent filter per pyramid
+            # scale (the reference clones the trunk per scale instead of
+            # weight-sharing it, opticalflow_model_multiscale.lua:219-225)
+            params = {"scales": {
+                f"scale{s}": self.filter.init(jax.random.fold_in(rng, s),
+                                              dummy)
+                for s in range(len(g.ratios))}}
         if g.cascad_trainable_weights:
             params = dict(params, cascade={"betas": init_cascade_betas(g)})
         return params
 
+    def _scale_params(self, params, s: int):
+        """Filter variables for pyramid scale s (scale-indexed when the
+        geometry trains per-scale filters, the shared trunk otherwise)."""
+        return params["scales"][f"scale{s}"] if "scales" in params else params
+
     # -- per-scale matcher on an already-downsampled (padded) image pair ----
 
-    def _scale_costs(self, params, d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    def _scale_costs(self, params, d1: jnp.ndarray, d2: jnp.ndarray,
+                     s: int = 0) -> jnp.ndarray:
         g = self.geometry
-        f1 = crop_features_center(g, self.filter.apply(params, d1))
-        f2 = self.filter.apply(params, d2)
+        p = self._scale_params(params, s)
+        f1 = crop_features_center(g, self.filter.apply(p, d1))
+        f2 = self.filter.apply(p, d2)
         return matching.match_ssd(f1, f2, g.maxh, g.maxw)
 
     # -- full-image inference ----------------------------------------------
@@ -272,10 +288,10 @@ class MultiscaleFlowModel:
         multiscale distribution (log of it if ``log``)."""
         g = self.geometry
         dists = []
-        for r in g.ratios:
+        for s, r in enumerate(g.ratios):
             d1 = pad_patch_border(g, avg_downsample(img1, r))
             d2 = pad_patch_border(g, avg_downsample(img2, r))
-            costs = self._scale_costs(params, d1, d2)
+            costs = self._scale_costs(params, d1, d2, s)
             dist = jax.nn.softmax(-costs, axis=-1)
             if r > 1:
                 # spatial upsample back to full res by replication
@@ -298,11 +314,12 @@ class MultiscaleFlowModel:
         composition split at this boundary)."""
         g = self.geometry
         outs = []
-        for r in g.ratios:
+        for s, r in enumerate(g.ratios):
             d1 = pad_patch_border(g, avg_downsample(img1, r))
             d2 = pad_patch_border(g, avg_downsample(img2, r))
-            outs.append((crop_features_center(g, self.filter.apply(params, d1)),
-                         self.filter.apply(params, d2)))
+            p = self._scale_params(params, s)
+            outs.append((crop_features_center(g, self.filter.apply(p, d1)),
+                         self.filter.apply(p, d2)))
         return outs
 
     def decode_from_features(self, feats) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -455,7 +472,7 @@ class MultiscaleFlowModel:
         (n_indices,) distribution (log by default, the training head)."""
         g = self.geometry
         dists = []
-        for r in g.ratios:
+        for s, r in enumerate(g.ratios):
             Hc, Wc = r * g.hPatch2, r * g.wPatch2
             y0 = y - (math.ceil(Hc / 2) - 1)
             x0 = x - (math.ceil(Wc / 2) - 1)
@@ -464,7 +481,7 @@ class MultiscaleFlowModel:
             c2 = jax.lax.dynamic_slice(
                 img2, (y0, x0, 0), (Hc, Wc, img2.shape[2]))
             costs = self._scale_costs(
-                params, avg_downsample(c1, r), avg_downsample(c2, r))
+                params, avg_downsample(c1, r), avg_downsample(c2, r), s)
             dists.append(jax.nn.softmax(-costs, axis=-1).reshape(-1))
         fused = apply_cascade(g, params, dists)
         out = middle_removal_concat(g, fused)
@@ -488,13 +505,13 @@ class MultiscaleFlowModel:
 
         def one(c1, c2):
             dists = []
-            for r in g.ratios:
+            for s, r in enumerate(g.ratios):
                 Hc, Wc = r * g.hPatch2, r * g.wPatch2
                 oy = (math.ceil(Hm / 2) - 1) - (math.ceil(Hc / 2) - 1)
                 ox = (math.ceil(Wm / 2) - 1) - (math.ceil(Wc / 2) - 1)
                 d1 = avg_downsample(c1[oy:oy + Hc, ox:ox + Wc], r)
                 d2 = avg_downsample(c2[oy:oy + Hc, ox:ox + Wc], r)
-                costs = self._scale_costs(params, d1, d2)
+                costs = self._scale_costs(params, d1, d2, s)
                 dists.append(jax.nn.softmax(-costs, axis=-1).reshape(-1))
             fused = apply_cascade(g, params, dists)
             out = middle_removal_concat(g, fused)

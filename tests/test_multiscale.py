@@ -335,3 +335,79 @@ def test_forward_fovea_batch_matches_per_sample():
     for i, (y, x) in enumerate(foveas):
         single = np.asarray(model.forward_fovea(params, im1, im2, y, x))
         np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-6)
+
+
+def test_unshared_filters_branch():
+    """share_filters=False trains an INDEPENDENT filter per pyramid scale
+    (the reference clones the trunk instead of weight-sharing it,
+    /root/reference/opticalflow_model_multiscale.lua:219-225): per-scale
+    param trees, exact equivalence to the shared model when every scale
+    carries identical weights, independent gradients under training, and a
+    checkpoint round trip through the sf=0-tagged directory name."""
+    import dataclasses
+    import os
+    import tempfile
+
+    from depth_estimation_tpu.models import io as model_io
+    from depth_estimation_tpu.training import train as training
+
+    g = dataclasses.replace(make_geometry((1, 2)), share_filters=False)
+    model = ms.MultiscaleFlowModel(g)
+    params = model.init(jax.random.PRNGKey(0))
+    assert set(params["scales"]) == {"scale0", "scale1"}
+    l0 = jax.tree.leaves(params["scales"]["scale0"])
+    l1 = jax.tree.leaves(params["scales"]["scale1"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(l0, l1)), "per-scale inits must differ"
+
+    # identical per-scale weights == the shared model, bitwise
+    gs = make_geometry((1, 2))
+    shared = ms.MultiscaleFlowModel(gs)
+    p0 = shared.init(jax.random.PRNGKey(1))
+    tied = {"scales": {"scale0": p0, "scale1": p0}}
+    rng = np.random.RandomState(2)
+    im1 = jnp.asarray(rng.rand(g.hImg, g.wImg, 3).astype(np.float32))
+    im2 = jnp.asarray(np.roll(np.asarray(im1), 2, axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(model.forward_full(tied, im1, im2)),
+        np.asarray(shared.forward_full(p0, im1, im2)))
+    idx_u, _ = model.decode_full(tied, im1, im2)
+    idx_s, _ = shared.decode_full(p0, im1, im2)
+    np.testing.assert_array_equal(np.asarray(idx_u), np.asarray(idx_s))
+
+    # one training step must move BOTH scales, independently
+    lrn = Learning(rate=0.05, batch_size=4, criterion="nll")
+    tr = training.MultiscaleTrainer(model, lrn)
+    state = tr.init(jax.random.PRNGKey(3))
+    Hm, Wm = g.rmax * g.hPatch2, g.rmax * g.wPatch2
+    c1 = jnp.asarray(rng.rand(4, Hm, Wm, 3), jnp.float32)
+    c2 = jnp.asarray(rng.rand(4, Hm, Wm, 3), jnp.float32)
+    it = jnp.asarray(rng.randint(0, codecs.n_indices(g), 4), jnp.int32)
+    new_state, aux = tr._step(state, c1, c2, it)
+    assert bool(aux["grad_ok"])
+    for sk in ("scale0", "scale1"):
+        moved = max(np.abs(np.asarray(a) - np.asarray(b)).max()
+                    for a, b in zip(
+                        jax.tree.leaves(state.params["scales"][sk]),
+                        jax.tree.leaves(new_state.params["scales"][sk])))
+        assert moved > 0, f"{sk} did not train"
+    # the two scales' updates differ (independent gradients)
+    deltas = [np.asarray(a) - np.asarray(b) for a, b in zip(
+        jax.tree.leaves(new_state.params["scales"]["scale0"]),
+        jax.tree.leaves(new_state.params["scales"]["scale1"]))]
+    base = [np.asarray(a) - np.asarray(b) for a, b in zip(
+        jax.tree.leaves(state.params["scales"]["scale0"]),
+        jax.tree.leaves(state.params["scales"]["scale1"]))]
+    assert any(np.abs(d - b).max() > 1e-8 for d, b in zip(deltas, base))
+
+    # checkpoint round trip; the dir name records the unshared trunk
+    name = model_io.model_dir_name(g, lrn)
+    assert "sf=0" in name
+    with tempfile.TemporaryDirectory() as td:
+        p = model_io.save_model(os.path.join(td, name), g, lrn,
+                                new_state.params)
+        g2, _, params2, _ = model_io.load_model(p)
+        assert not g2.share_filters
+        for a, b in zip(jax.tree.leaves(params2),
+                        jax.tree.leaves(new_state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

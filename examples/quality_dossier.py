@@ -101,17 +101,20 @@ def make_warp_sequence(out_dir: str, n: int = 8):
 
 def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
           n_frames: int = 8, n_train: int = 3000, lr: float = 0.02,
-          share_filters: bool = True):
+          share_filters: bool = True, n_features: int = 10,
+          kernel1: int = None):
     from depth_estimation_tpu.cli import opticalflow
 
+    if kernel1 is None:
+        kernel1 = 16 if not multiscale else 5
     args = [
         "--root-directory", root,
         "--num-input-images", str(n_frames),
         "--n-train-set", str(n_train), "--n-test-set",
         str(max(n_train // 4, 64)),
         "--num-epochs", str(epochs),
-        "--n-features", "10",
-        "--kernel1-size", "16" if not multiscale else "5",
+        "--n-features", str(n_features),
+        "--kernel1-size", str(kernel1),
         "--num-layers", "1",
         "--window-size", "16",
         "--gt-window-size", "16",
@@ -133,16 +136,15 @@ def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
     return os.path.join(out, name)
 
 
-def ms_unshared_quality(work: str, epochs: int = 400, n_frames: int = 8,
-                        n_train: int = 3000):
-    """Multiscale row WITHOUT filter sharing (per-scale filters — the
-    reference's share_filters=false branch,
-    opticalflow_model_multiscale.lua:219-225): trains through the same
-    CLI/sequence as the main multiscale row and scores the same held-out
-    pair. Purpose: the main row's plateau (~0.35 patch acc) is attributed
-    in the README to the foveated design's quantization + the 5x5 shared
-    filter's capacity — this row measures how much of that is the SHARING
-    specifically. Records ``multiscale_ccGT_unshared``."""
+def _ms_variant_quality(work: str, key: str, epochs: int = 400,
+                        n_frames: int = 8, n_train: int = 3000,
+                        **train_overrides):
+    """Shared body for the multiscale ABLATION rows: train a multiscale
+    variant through the same CLI/sequence as the main multiscale row and
+    score the same held-out pair. The main row's plateau (~0.35 patch
+    acc) is attributed in the README to the foveated design's
+    quantization + the 5x5 shared filter's capacity; each variant row
+    isolates one leg of that attribution. Records under ``key``."""
     import jax.numpy as jnp
     from depth_estimation_tpu import codecs
     from depth_estimation_tpu.models import io as model_io
@@ -153,11 +155,11 @@ def ms_unshared_quality(work: str, epochs: int = 400, n_frames: int = 8,
     _register_dossier_cal()
     root, true_flow = make_warp_sequence(os.path.join(work, "seq"),
                                          n=n_frames)
-    mdir = os.path.join(work, "models_multiscale_ccGT_unshared")
+    mdir = os.path.join(work, f"models_{key}")
     if not os.path.exists(mdir):
         mpath = train(root, mdir, epochs, "cross-correlation", multiscale=3,
                       n_frames=n_frames, n_train=n_train,
-                      share_filters=False)
+                      **train_overrides)
     else:
         mpath = os.path.join(mdir, os.listdir(mdir)[0])
 
@@ -177,8 +179,31 @@ def ms_unshared_quality(work: str, epochs: int = 400, n_frames: int = 8,
     return {"epochs": len(hist),
             "final_patch_acc": round(hist[-1]["test_acc"], 4),
             "best_patch_acc": round(max(h["test_acc"] for h in hist), 4),
+            "history_test_acc": [round(h["test_acc"], 4) for h in hist],
             "full_acc_analytic": round(s.accuracy, 4),
             "meanDst_analytic": round(s.mean_dst, 4)}
+
+
+def ms_unshared_quality(work: str, **kw):
+    """Multiscale row WITHOUT filter sharing (per-scale filters — the
+    reference's share_filters=false branch,
+    opticalflow_model_multiscale.lua:219-225): measures how much of the
+    main row's plateau is the SHARING specifically.
+    Records ``multiscale_ccGT_unshared``."""
+    return _ms_variant_quality(work, "multiscale_ccGT_unshared",
+                               share_filters=False, **kw)
+
+
+def ms_capacity_quality(work: str, **kw):
+    """Multiscale row with DOUBLED filter capacity (7x7 kernels, 20
+    features instead of the reference's 5x5 x 10,
+    opticalflow_model_multiscale.lua:219-225 geometry defaults): measures
+    how much of the main row's plateau is first-layer CAPACITY — if this
+    row plateaus in the same band, the residual is the foveated design's
+    own index quantization, not the filter.
+    Records ``multiscale_ccGT_capacity``."""
+    return _ms_variant_quality(work, "multiscale_ccGT_capacity",
+                               n_features=20, kernel1=7, **kw)
 
 
 def full_image_scores(model, geom, params, img1, img2, gts):
@@ -672,6 +697,10 @@ def main():
                     help="multiscale row without filter sharing (the "
                          "share_filters=false branch) — measures how much "
                          "of the main row's plateau is the sharing")
+    ap.add_argument("--ms-capacity-only", action="store_true",
+                    help="multiscale row with doubled first-layer capacity "
+                         "(7x7 kernels, 20 features) — measures how much "
+                         "of the main row's plateau is filter capacity")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "overrides JAX_PLATFORMS; must be set before "
@@ -701,7 +730,9 @@ def main():
             ("version2", args.v2_only, v2_quality),
             ("legacy_depth", args.legacy_only, legacy_depth_quality),
             ("multiscale_ccGT_unshared", args.ms_unshared_only,
-             ms_unshared_quality)]
+             ms_unshared_quality),
+            ("multiscale_ccGT_capacity", args.ms_capacity_only,
+             ms_capacity_quality)]
     if any(flag for _, flag, _ in only):
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(HERE, "quality_dossier.json")

@@ -240,28 +240,34 @@ def test_bicubic_interpolation_option_end_to_end():
     assert abs(np.median(inner_u) - 2) < 0.3, np.median(inner_u)
 
 
-def test_flow_render_vs_bundled_reference_output():
-    """Validate the solver against the reference's own bundled render
-    (/root/reference/celiu/output/table_flow.jpg, produced by demoflow.m
-    with alpha=0.012, ratio=0.75, minWidth=20, 7/1/30): decode the render's
-    Middlebury hues back to flow directions and require directional
-    agreement with our solve where both are confident. (Pixel-exact
-    comparison is meaningless: the bundled JPEG's normalization radius is
-    unknown and compression washes out saturation.)"""
+@pytest.mark.parametrize("pair", ["table", "car"])
+def test_flow_render_vs_bundled_reference_output(pair):
+    """Validate the solver against the reference's own bundled renders
+    (/root/reference/celiu/output/{table,car}_flow.jpg, produced by
+    demoflow.m with alpha=0.012, ratio=0.75, minWidth=20, 7/1/30 on the
+    bundled pairs — demoflow.m:3-27): decode each render's Middlebury
+    hues back to flow directions and require directional agreement with
+    our solve where both are confident. (Pixel-exact comparison is
+    meaningless: the bundled JPEG's normalization radius is unknown and
+    compression washes out saturation.)"""
     from PIL import Image
     from depth_estimation_tpu.utils.viz import (
         flow_to_color_middlebury, color_to_flow_direction)
 
-    im1 = np.asarray(Image.open("/root/reference/celiu/table1.jpg")
+    im1 = np.asarray(Image.open(f"/root/reference/celiu/{pair}1.jpg")
                      .resize((320, 180), Image.BICUBIC), np.float32) / 255
-    im2 = np.asarray(Image.open("/root/reference/celiu/table2.jpg")
+    im2 = np.asarray(Image.open(f"/root/reference/celiu/{pair}2.jpg")
                      .resize((320, 180), Image.BICUBIC), np.float32) / 255
     u, v, _ = celiu.coarse2fine_flow(im1, im2, alpha=0.012, ratio=0.75,
                                      min_width=20, n_outer=7, n_inner=1,
                                      n_sor=30)
     u = np.asarray(u)
     v = np.asarray(v)
-    ref = np.asarray(Image.open("/root/reference/celiu/output/table_flow.jpg"))
+    # table_flow.jpg is 320x180, car_flow.jpg full-res 640x480 — bring the
+    # render to the solve resolution (hue = direction survives resampling)
+    ref = np.asarray(Image.open(
+        f"/root/reference/celiu/output/{pair}_flow.jpg")
+        .resize((320, 180), Image.BILINEAR))
     rx, ry, sat = color_to_flow_direction(ref)
 
     mag = np.sqrt(u * u + v * v)

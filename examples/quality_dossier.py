@@ -206,6 +206,36 @@ def ms_capacity_quality(work: str, **kw):
                                n_features=20, kernel1=7, **kw)
 
 
+def redraw_curves_from_json():
+    """Redraw quality_curves.png from the JSON's recorded epoch histories
+    (every row carrying ``history_test_acc``) — unlike the main run's
+    checkpoint-reading plot this includes the --*-only ablation rows, whose
+    training state lives in _dossier_work and is not committed."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    path = os.path.join(HERE, "quality_dossier.json")
+    data = json.load(open(path))
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for name in sorted(data):
+        row = data[name]
+        hist = row.get("history_test_acc") if isinstance(row, dict) else None
+        if hist:
+            ax.plot(range(len(hist)), hist, linewidth=1.1,
+                    label=f"{name} ({len(hist)} ep)")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("held-out patch accuracy")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    out = os.path.join(HERE, "quality_curves.png")
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    print("curves:", out)
+    return out
+
+
 def full_image_scores(model, geom, params, img1, img2, gts):
     """Decode a full frame and score it against each GT field."""
     import jax.numpy as jnp
@@ -701,6 +731,9 @@ def main():
                     help="multiscale row with doubled first-layer capacity "
                          "(7x7 kernels, 20 features) — measures how much "
                          "of the main row's plateau is filter capacity")
+    ap.add_argument("--curves-only", action="store_true",
+                    help="redraw quality_curves.png from the JSON's "
+                         "recorded histories (includes ablation rows)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "overrides JAX_PLATFORMS; must be set before "
@@ -709,6 +742,10 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.curves_only:
+        redraw_curves_from_json()
+        return
 
     nsig = args.noise_sigma if args.noise_sigma is not None else 0.1
     noisy_key = ("radial_noisy" if args.noise_sigma is None

@@ -228,7 +228,10 @@ def main(only=None):
               f"-> {1/dt:.1f} fps", flush=True)
 
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
-    if only is not None and os.path.exists(out_path):
+    # always read-merge-write: results.json also carries rows owned by
+    # other harnesses (bench_full_pipeline.py's full_pipeline_* entries),
+    # which a full config run must not clobber
+    if os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f)
         merged.update(results)

@@ -230,10 +230,15 @@ def main(only=None):
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
     # always read-merge-write: results.json also carries rows owned by
     # other harnesses (bench_full_pipeline.py's full_pipeline_* entries),
-    # which a full config run must not clobber
+    # which a full config run must not clobber. A FULL run (no --only) does
+    # own every config* row, so it first purges stale/renamed config* keys —
+    # otherwise a renamed key would survive forever as a phantom row.
     if os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f)
+        if only is None:
+            merged = {k: v for k, v in merged.items()
+                      if not k.startswith("config")}
         merged.update(results)
         results = merged
     with open(out_path, "w") as f:

@@ -29,14 +29,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _fetch_rtt():
+    """One scalar-fetch round trip on a trivial kernel — the tunneled
+    backend synchronizes only on host fetches (see bench.py), so every
+    timed() window carries exactly one RTT that must be subtracted or it
+    lands in the smallest ablation share."""
+    nop = jax.jit(lambda x: x + 1.0)
+    float(nop(jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    float(nop(jnp.float32(2.0)))
+    return time.perf_counter() - t0
+
+
 def timed(fn, *args, iters=3):
     out = fn(*args)
     float(jax.tree.leaves(out)[0].sum())
+    rtt = _fetch_rtt()
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
     float(jax.tree.leaves(out)[0].sum())
-    return (time.perf_counter() - t0) / iters
+    return max(time.perf_counter() - t0 - rtt, 1e-9) / iters
 
 
 def main():

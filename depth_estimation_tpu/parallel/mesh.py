@@ -210,14 +210,17 @@ def spatial_sharded_multiscale_fn(model, mesh: Mesh, axis: str = "sp"):
 
         e1, e2 = ext(s1), ext(s2)
         dists = []
-        for r in ratios:
+        for s_i, r in enumerate(ratios):
             start = T // r - pad_top
             L = Hs // r + hP
             wpad = ((0, 0), (wp // 2, wp - wp // 2), (0, 0))
             d1 = jnp.pad(ms.avg_downsample(e1, r)[start:start + L], wpad)
             d2 = jnp.pad(ms.avg_downsample(e2, r)[start:start + L], wpad)
-            f1f = model.filter.apply(params, d1)
-            f2 = model.filter.apply(params, d2)
+            # per-scale filter variables when the geometry trains unshared
+            # filters (share_filters=False), the shared trunk otherwise
+            p = model._scale_params(params, s_i)
+            f1f = model.filter.apply(p, d1)
+            f2 = model.filter.apply(p, d2)
             f1 = f1f[g.halfh1:g.halfh1 + Hs // r,
                      g.halfw1:f1f.shape[1] - g.halfw2, :]
             costs = matching.match_ssd(f1, f2, g.maxh, g.maxw)

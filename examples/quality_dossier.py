@@ -411,7 +411,6 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
     seq = os.path.join(work, ds_name, "images")
     os.makedirs(seq, exist_ok=True)
     frames = []
-    clean_frames = []
     # n_scenes > 1 writes SEVERAL short fresh-texture chains back-to-back
     # into one numbered directory (scene-specific feature overfitting is
     # exactly what the noisy row's fresh-scene evaluation exposed; short
@@ -431,7 +430,6 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
             Image.fromarray((save * 255).astype(np.uint8)).save(
                 os.path.join(seq, f"{s * n_frames + i:09d}.png"))
             frames.append(save)
-            clean_frames.append(img)
             # strong two-plane zoom: radial flow spans most of the hWin
             # window after the cartesian->polar-row rescale (hInput/rmax
             # ~ 0.37 here). Long chains need a gentler zoom — content
@@ -546,7 +544,8 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
     acc = float((pred == ts).mean())
     epe = float(np.abs(pred - ts).mean())
     # raw-pixel SSD-WTA baseline on the same patches (what matching the
-    # unlearned input directly achieves against the same noisy GT)
+    # unlearned input directly achieves against the same clean-frame GT
+    # the model rows are scored on — see the fresh-scene eval above)
     hk = net.h_kernel
     ssd_hits, ssd_err = 0, 0.0
     for a, b, t in zip(p1, p2, ts):

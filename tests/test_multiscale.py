@@ -411,3 +411,32 @@ def test_unshared_filters_branch():
         for a, b in zip(jax.tree.leaves(params2),
                         jax.tree.leaves(new_state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_unshared_meta_with_shared_params_migrates():
+    """Checkpoints written before the unshared-filters branch existed carry
+    share_filters=False in meta.json (the CLI default without -sf) but a
+    SHARED params tree — the model always trained shared weights then.
+    load_model must restore them as the shared model they are (corrected
+    geometry), not raise a template mismatch."""
+    import dataclasses
+    import os
+    import tempfile
+
+    from depth_estimation_tpu.models import io as model_io
+
+    g_unshared = dataclasses.replace(make_geometry((1, 2)),
+                                     share_filters=False)
+    g_shared = dataclasses.replace(g_unshared, share_filters=True)
+    shared_params = ms.MultiscaleFlowModel(g_shared).init(
+        jax.random.PRNGKey(0))
+    with tempfile.TemporaryDirectory() as td:
+        # what the pre-branch code persisted: unshared meta, shared payload
+        p = model_io.save_model(os.path.join(td, "legacy"), g_unshared,
+                                Learning(), shared_params)
+        g2, _, params2, _ = model_io.load_model(p)
+        assert g2.share_filters, "migration must correct the geometry"
+        assert "scales" not in params2
+        for a, b in zip(jax.tree.leaves(params2),
+                        jax.tree.leaves(shared_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

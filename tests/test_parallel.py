@@ -108,14 +108,18 @@ def test_pad_to_multiple_for_sharding(mesh8):
     assert sharded.shape == (16, 3)
 
 
-def test_spatial_sharded_multiscale_matches_unsharded():
+@pytest.mark.parametrize("share_filters", [True, False])
+def test_spatial_sharded_multiscale_matches_unsharded(share_filters):
     """Row-sharded multiscale forward (two-sided halo exchange) must equal
     forward_full exactly — the halos make every device's pyramid slice
-    identical to the corresponding rows of the unsharded computation."""
+    identical to the corresponding rows of the unsharded computation.
+    Covers both filter layouts: the shared trunk and the per-scale
+    (share_filters=False) parameter tree."""
     from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
 
     g = Geometry(hImg=64, wImg=48, layers=((3, 5, 5, 6),), maxh=4, maxw=4,
-                 multiscale=True, ratios=(1, 2, 4))
+                 multiscale=True, ratios=(1, 2, 4),
+                 share_filters=share_filters)
     model = MultiscaleFlowModel(g)
     params = model.init(jax.random.PRNGKey(2))
     rng = np.random.RandomState(2)

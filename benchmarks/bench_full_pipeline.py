@@ -47,8 +47,9 @@ def main():
     # Measured-best dispatch sizes on one v5e chip: 128 for the fast and
     # banded modes (the Pallas banded warp removed the gather that used to
     # cap scaling — banded 573@32 -> 643@64 -> 660@128, fast 711 -> 845 ->
-    # 894); the strict gather-warp parity mode still prefers 32 (gather
-    # issue rate does not scale with batch: 278@32 -> 212@128)
+    # 894, plateauing by 256 at 891); the strict gather-warp parity mode
+    # still prefers 32 (gather issue rate does not scale with batch:
+    # 278@32 -> 212@128)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--head", default="mean", choices=("mean", "max"))
     ap.add_argument("--dtype", default="bfloat16",

@@ -132,12 +132,15 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     ``packed=True`` selects the packed-tap TPU formulation: the four taps
     live in ONE edge-padded (H, W, 4C) table so a single gather fetches
     them all — TPU gather cost is bound by index-processing rate, not row
-    bytes. Value-exact vs the four-tap form (proven per call shape by
-    tests/test_celiu.py::test_packed_bilinear_matches_four_tap):
-    coordinates are pre-clamped per axis, which collapses every
-    out-of-range tap onto the same edge pixel the per-tap clamping
-    produced (the blend of equal taps is the tap, whatever the fraction),
-    and the edge pad reproduces the +1-tap clamp at the last row/column.
+    bytes. Equal to the four-tap form within float rounding (<= 1e-6,
+    enforced per call shape by
+    tests/test_celiu.py::test_packed_bilinear_matches_four_tap — NOT
+    bitwise: collapsed-tap blends like (1-dx)*v + dx*v are only ulp-equal
+    in f32, the same ulp sensitivity that flips knife-edge RANSAC
+    consumers below): coordinates are pre-clamped per axis, which
+    collapses every out-of-range tap onto the same edge pixel the per-tap
+    clamping produced, and the edge pad reproduces the +1-tap clamp at
+    the last row/column.
 
     Where each form wins (measured): packed took the celiu solve from
     34.1 to 10.9 ms/pair (the warp + pyramid resamples were 61% of it —

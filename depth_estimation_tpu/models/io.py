@@ -94,22 +94,25 @@ def load_model(path: str) -> Tuple[Geometry, Learning, Any, dict]:
     template = model.init(jax.random.PRNGKey(0))
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
         payload = f.read()
-    try:
-        params = flax.serialization.from_bytes(template, payload)
-    except (ValueError, KeyError):
-        if not (geom.multiscale and not geom.share_filters):
-            raise
-        # Migration: before the unshared-filters branch existed, the CLI
-        # recorded share_filters=False (its default without -sf) while the
-        # model always trained the SHARED tree — those checkpoints carry a
-        # shared params payload under an unshared meta. The weights were
-        # trained shared, so the model semantically IS shared: restore with
-        # the shared template and return the corrected geometry.
-        geom = dataclasses.replace(geom, share_filters=True)
-        from .multiscale import MultiscaleFlowModel
-        model = MultiscaleFlowModel(geom)
-        template = model.init(jax.random.PRNGKey(0))
-        params = flax.serialization.from_bytes(template, payload)
+    # Migration: before the unshared-filters branch existed, the CLI
+    # recorded share_filters=False (its default without -sf) while the
+    # model always trained the SHARED tree — those checkpoints carry a
+    # shared params payload under an unshared meta. Detect that
+    # STRUCTURALLY (the unshared tree has a top-level 'scales' key; the
+    # shared payload does not) rather than by catching restore errors,
+    # so a genuinely-unshared checkpoint that fails restore for another
+    # reason (truncation, version skew) surfaces its real exception.
+    if geom.multiscale and not geom.share_filters:
+        import msgpack
+        keys = set(msgpack.unpackb(payload, raw=False).keys())
+        if "scales" not in keys:
+            # trained shared: restore with the shared template and return
+            # the corrected geometry
+            geom = dataclasses.replace(geom, share_filters=True)
+            from .multiscale import MultiscaleFlowModel
+            model = MultiscaleFlowModel(geom)
+            template = model.init(jax.random.PRNGKey(0))
+    params = flax.serialization.from_bytes(template, payload)
     return geom, learning, params, meta
 
 

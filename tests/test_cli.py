@@ -126,19 +126,30 @@ def test_radial_cli_scene_length_drops_seam_pairs(tmp_path, capsys):
             frame = forward_step(frame, 1.05, 1.10)
 
     from depth_estimation_tpu.cli import train_radial
-    rc = train_radial.main([
-        "-rd", str(tmp_path / "seq"), "-cal", "test128x160",
-        "-net", "[[3,5,5,8]]", "-hwin", "5", "-hi", "100", "-wi", "100",
-        "-ni", "6", "-n", "64", "-e", "1", "-bs", "16", "-sl", "3",
-        "-omd", str(tmp_path / "mr"),
-    ])
-    assert rc == 0
-    out = capsys.readouterr().out
+
+    def usable(extra, omd):
+        rc = train_radial.main([
+            "-rd", str(tmp_path / "seq"), "-cal", "test128x160",
+            "-net", "[[3,5,5,8]]", "-hwin", "5", "-hi", "100", "-wi", "100",
+            "-ni", "6", "-n", "64", "-e", "1", "-bs", "16",
+            "-omd", str(tmp_path / omd),
+        ] + extra)
+        assert rc == 0
+        out = capsys.readouterr().out
+        m = re.search(r"(\d+)/5 pairs usable", out)
+        assert m, out
+        return int(m.group(1))
+
     # 5 consecutive pairs; pair (frame2, frame3) straddles the seam and
-    # must be dropped regardless of what the inlier gate thinks of it
-    m = re.search(r"(\d+)/5 pairs usable", out)
-    assert m, out
-    assert int(m.group(1)) <= 4
+    # must be dropped regardless of what the inlier gate thinks of it.
+    # Compare against the SAME loader without -sl: the flag itself must be
+    # what drops the seam pair (a <=4 assertion alone would also pass if
+    # -sl were ignored and the gate happened to drop the seam pair —
+    # round-3 advisor finding).
+    with_sl = usable(["-sl", "3"], "mr")
+    without_sl = usable([], "mr_nosl")
+    assert with_sl <= 4
+    assert without_sl > with_sl, (without_sl, with_sl)
 
 
 @pytest.fixture(autouse=True)

@@ -556,6 +556,11 @@ def main(argv=None) -> int:
     e.add_argument("--cal", default=None, help=".cal file (pipeline export)")
     e.add_argument("--bf16", action="store_true",
                    help="bf16 matcher feature storage (forward export)")
+    e.add_argument("--hw", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="artifact input dims for radial (polar grid, "
+                        "default 200 200) and legacy-depth (frame, "
+                        "default 360 640) exports")
 
     args = p.parse_args(argv)
     from ..serving import cmd_export

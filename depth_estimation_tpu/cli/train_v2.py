@@ -92,6 +92,18 @@ def main(argv=None) -> int:
               f"acc {np.mean(accs):.3f}")
         with open(os.path.join(args.output_model_dir, f"e{epoch}"), "wb") as f:
             f.write(flax.serialization.to_bytes(params))
+        # sidecar meta so `tools export` can rebuild the network without
+        # the training flags (the reference stores only the bare payload,
+        # version2/train.lua; dirs without meta.json still load as
+        # version2 via serving.detect_family's bare-e<N> fallback)
+        import json
+        with open(os.path.join(args.output_model_dir, "meta.json"),
+                  "w") as f:
+            json.dump({"version": 1, "family": "version2",
+                       "wImg": datap.wImg, "hImg": datap.hImg,
+                       "normalization_k": datap.normalization_k,
+                       "layers": [list(l) for l in datap.layers],
+                       "hWin": datap.hWin, "wWin": datap.wWin}, f)
     return 0
 
 

@@ -440,3 +440,36 @@ def test_legacy_unshared_meta_with_shared_params_migrates():
         for a, b in zip(jax.tree.leaves(params2),
                         jax.tree.leaves(shared_params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unshared_checkpoint_bad_payload_surfaces_real_error():
+    """Structural migration detection (round-3 advisor finding): a
+    genuinely-UNSHARED checkpoint whose payload is corrupt must raise the
+    real unpack error, not be silently retried against the shared template
+    (which used to produce a misleading secondary mismatch error)."""
+    import dataclasses
+    import os
+    import tempfile
+
+    import pytest
+
+    from depth_estimation_tpu.models import io as model_io
+
+    g_unshared = dataclasses.replace(make_geometry((1, 2)),
+                                     share_filters=False)
+    params = ms.MultiscaleFlowModel(g_unshared).init(jax.random.PRNGKey(0))
+    with tempfile.TemporaryDirectory() as td:
+        p = model_io.save_model(os.path.join(td, "m"), g_unshared,
+                                Learning(), params)
+        blob_path = os.path.join(p, "params.msgpack")
+        with open(blob_path, "rb") as f:
+            blob = f.read()
+        with open(blob_path, "wb") as f:
+            f.write(blob[: len(blob) // 2])  # truncate
+        with pytest.raises(Exception) as ei:
+            model_io.load_model(p)
+        # the shared-template retry would raise a flax value/key mismatch
+        # mentioning the template; the real error is a msgpack unpack one
+        assert "msgpack" in type(ei.value).__module__ or \
+            "unpack" in str(ei.value).lower() or \
+            "Unpack" in type(ei.value).__name__

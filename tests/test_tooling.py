@@ -147,3 +147,22 @@ def test_interactive_download_menus(tmp_path, capsys, monkeypatch):
         today="2026-08-17")
     assert rc == 1
     assert "Missing epochs" in capsys.readouterr().out
+
+
+def test_readme_tables_match_artifacts():
+    """README's perf and quality tables are GENERATED from
+    benchmarks/results.json / examples/quality_dossier.json / the newest
+    BENCH_r*.json (benchmarks/gen_readme.py). This fails whenever a
+    re-bench changes an artifact without `python benchmarks/gen_readme.py`
+    being re-run — the round-3 drift finding, made structural."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_readme", os.path.join(root, "benchmarks", "gen_readme.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    assert gen.main(["--check"]) == 0, (
+        "README tables drift from the recorded artifacts — run "
+        "`python benchmarks/gen_readme.py`")

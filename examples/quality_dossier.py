@@ -102,7 +102,8 @@ def make_warp_sequence(out_dir: str, n: int = 8):
 def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
           n_frames: int = 8, n_train: int = 3000, lr: float = 0.02,
           share_filters: bool = True, n_features: int = 10,
-          kernel1: int = None):
+          kernel1: int = None, num_layers: int = 1, kernel2: int = 16,
+          layer_two_size: int = 8, layer_two_connections: int = 4):
     from depth_estimation_tpu.cli import opticalflow
 
     if kernel1 is None:
@@ -115,7 +116,10 @@ def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
         "--num-epochs", str(epochs),
         "--n-features", str(n_features),
         "--kernel1-size", str(kernel1),
-        "--num-layers", "1",
+        "--num-layers", str(num_layers),
+        "--kernel2-size", str(kernel2),
+        "--layer-two-size", str(layer_two_size),
+        "--layer-two-connections", str(layer_two_connections),
         "--window-size", "16",
         "--gt-window-size", "16",
         "--learning-rate", str(lr),
@@ -156,7 +160,10 @@ def _ms_variant_quality(work: str, key: str, epochs: int = 400,
     root, true_flow = make_warp_sequence(os.path.join(work, "seq"),
                                          n=n_frames)
     mdir = os.path.join(work, f"models_{key}")
-    if not os.path.exists(mdir):
+    # resume only from a NON-EMPTY model dir: a run that crashed after
+    # mkdir but before the first save leaves an empty dir (round-3 advisor
+    # finding), and os.listdir()[0] would raise instead of retraining
+    if not (os.path.isdir(mdir) and os.listdir(mdir)):
         mpath = train(root, mdir, epochs, "cross-correlation", multiscale=3,
                       n_frames=n_frames, n_train=n_train,
                       **train_overrides)
@@ -204,6 +211,160 @@ def ms_capacity_quality(work: str, **kw):
     Records ``multiscale_ccGT_capacity``."""
     return _ms_variant_quality(work, "multiscale_ccGT_capacity",
                                n_features=20, kernel1=7, **kw)
+
+
+def ms_ref2layer_quality(work: str, **kw):
+    """Multiscale row at the REFERENCE'S OWN default network: 2 layers,
+    kernels 5 + 16 - 1 = 20x20 receptive field, 8-feature sparse middle
+    layer (opticalflow.lua defaults: -nl 2 -k1s 5 -k2s 16 -s2 8 -s2c 4),
+    unshared per-scale filters (-sf defaults false,
+    opticalflow_model_multiscale.lua:219-225). The main multiscale rows
+    train a single 5x5 conv — a far smaller receptive field than the
+    reference ever uses; this row measures the plateau at the reference's
+    actual architecture. Records ``multiscale_ccGT_ref2layer``."""
+    return _ms_variant_quality(work, "multiscale_ccGT_ref2layer",
+                               share_filters=False, num_layers=2,
+                               kernel1=5, kernel2=16, **kw)
+
+
+class _Im2ColFilter:
+    """Lossless 'filter': features at each pixel are the raw kh x kw x C
+    patch itself, so feature-SSD == patch-SSD — the identity-kernel oracle
+    trick of the reference's own tests (test_multiscale.lua:44-55, raised
+    to the full patch). Plugs into MultiscaleFlowModel in place of
+    ConvFilter to measure the DESIGN ceiling with perfect features."""
+
+    def __init__(self, kh: int, kw: int):
+        self.kh, self.kw = kh, kw
+
+    def init(self, rng, dummy):
+        return {}
+
+    def apply(self, params, x):
+        import jax.numpy as jnp
+        kh, kw = self.kh, self.kw
+        H, W = x.shape[0], x.shape[1]
+        slices = [x[ky:H - kh + 1 + ky, kx:W - kw + 1 + kx]
+                  for ky in range(kh) for kx in range(kw)]
+        return jnp.concatenate(slices, axis=-1)
+
+
+_ORACLE_FNS = {}
+
+
+def _oracle_ms_decode(geom, img1, img2):
+    """Full-image WTA decode of the REAL multiscale pipeline (per-ratio
+    avg-pool downsample, per-scale SSD matcher + softmax, cascade,
+    middle-band removal, concat-codec WTA with the middle tie-break) with
+    the conv trunk replaced by lossless patch features (_Im2ColFilter).
+    Upper-bounds what ANY trained filter of that receptive field can make
+    the decode produce."""
+    import jax
+    import jax.numpy as jnp
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+
+    if geom not in _ORACLE_FNS:
+        model = MultiscaleFlowModel(geom)
+        model.filter = _Im2ColFilter(geom.hKernel, geom.wKernel)
+        _ORACLE_FNS[geom] = jax.jit(
+            lambda i1, i2: model.decode_full({}, i1, i2)[0])
+    idx = _ORACLE_FNS[geom](jnp.asarray(img1), jnp.asarray(img2))
+    return np.asarray(idx)
+
+
+def multiscale_ceiling(work: str, n_frames: int = 8):
+    """The multiscale DESIGN-CEILING oracles (no training; round-3 verdict
+    item 1). Two ceilings, both on the dossier sequence the trained rows
+    score on:
+
+    (a) ``codec``: the analytic flow of every pair encoded through the
+        multiscale band codec (codecs.yx2x_multi_scalar — nearest
+        representable displacement) and decoded back. Errors here are pure
+        index quantization: displacements off the finest scale's range
+        land on coarse cells that decode to multiples of the ratio
+        (x2yxMulti semantics, opticalflow_model_multiscale.lua:83-132).
+
+    (b) ``oracle_k16`` / ``oracle_k5``: the real pipeline (downsample,
+        per-scale softmax, cascade, band removal, WTA) run with LOSSLESS
+        patch features at the GT kernel (16x16, the cc-GT matcher's own
+        resolution) and at the trained rows' receptive field (5x5). The
+        gap between these and (a) is downsample matching ambiguity — a
+        coarse scale sees off-grid displacements as half-texel shifts and
+        cannot resolve the codec's ceil-quantized cell reliably; the gap
+        between them and the trained rows is what training can recover.
+
+    Per pair k the analytic flow is SHIFTS[k] everywhere, so per-pair
+    scores are exact. Reports per-pair and mean metrics: exact-index
+    agreement with the encoded target (the patch-accuracy analogue),
+    eval_flow full accuracy/meanDst vs the analytic field, plus the
+    held-out pair's row (the number comparable to the trained rows'
+    full_acc_analytic)."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from PIL import Image
+    from depth_estimation_tpu import codecs
+    from depth_estimation_tpu.geometry import Geometry
+    from depth_estimation_tpu.training import score as score_mod
+
+    _register_dossier_cal()
+    root, _ = make_warp_sequence(os.path.join(work, "seq"), n=n_frames)
+    H, W = 180, 320
+    shifts = SHIFTS[:n_frames - 1]
+
+    # the trained multiscale rows' geometry: window 16, 3 scales ->
+    # per-scale 4x4 window, ratios (1, 2, 4) (cli/opticalflow.py mirrors
+    # opticalflow.lua:175-186)
+    def geo(k):
+        return Geometry(hImg=H, wImg=W, layers=((3, k, k, 3 * k * k),),
+                        maxh=4, maxw=4, maxhGT=16, maxwGT=16,
+                        hKernelGT=16, wKernelGT=16, multiscale=True,
+                        ratios=(1, 2, 4),
+                        output_extraction_method="max")
+
+    g16, g5 = geo(16), geo(5)
+    frames = [np.asarray(Image.open(os.path.join(
+        root, "images", f"{i:09d}.png")), np.float32) / 255.0
+        for i in range(n_frames)]
+
+    out = {"codec": {"per_pair": []}, "oracle_k16": {"per_pair": []},
+           "oracle_k5": {"per_pair": []}}
+    for k, (dy, dx) in enumerate(shifts):
+        true = np.zeros((2, H, W), np.float32)
+        true[0], true[1] = dy, dx
+        enc = codecs.yx2x_multi_scalar(g16, dy, dx)
+        qy, qx = codecs.x2yx_multi_scalar(g16, enc)
+        dec = np.zeros((2, H, W), np.float32)
+        dec[0], dec[1] = qy, qx
+        s = score_mod.eval_flow(g16, dec, true)
+        out["codec"]["per_pair"].append(
+            {"shift": [dy, dx], "decoded": [int(qy), int(qx)],
+             "full_acc": round(s.accuracy, 4),
+             "meanDst": round(s.mean_dst, 4)})
+        for key, g in (("oracle_k16", g16), ("oracle_k5", g5)):
+            idx = _oracle_ms_decode(g, frames[k], frames[k + 1])
+            wy, wx = codecs.decode(g, idx)
+            full = np.stack([np.asarray(wy, np.float32),
+                             np.asarray(wx, np.float32)])
+            s = score_mod.eval_flow(g, full, true)
+            hb, wb = score_mod.borders(g)
+            exact = float((idx[hb:H - hb, wb:W - wb] == enc).mean())
+            out[key]["per_pair"].append(
+                {"shift": [dy, dx], "exact_index_acc": round(exact, 4),
+                 "full_acc": round(s.accuracy, 4),
+                 "meanDst": round(s.mean_dst, 4)})
+
+    for key in out:
+        rows = out[key]["per_pair"]
+        out[key]["mean_full_acc"] = round(
+            float(np.mean([r["full_acc"] for r in rows])), 4)
+        out[key]["mean_meanDst"] = round(
+            float(np.mean([r["meanDst"] for r in rows])), 4)
+        if "exact_index_acc" in rows[0]:
+            out[key]["mean_exact_index_acc"] = round(
+                float(np.mean([r["exact_index_acc"] for r in rows])), 4)
+        out[key]["held_out_full_acc"] = rows[-1]["full_acc"]
+        out[key]["held_out_meanDst"] = rows[-1]["meanDst"]
+    return out
 
 
 def redraw_curves_from_json():
@@ -730,6 +891,14 @@ def main():
                     help="multiscale row with doubled first-layer capacity "
                          "(7x7 kernels, 20 features) — measures how much "
                          "of the main row's plateau is filter capacity")
+    ap.add_argument("--ms-ceiling-only", action="store_true",
+                    help="the multiscale DESIGN-CEILING oracles (no "
+                         "training): codec quantization + lossless-feature "
+                         "pipeline decode at 16x16 and 5x5 receptive fields")
+    ap.add_argument("--ms-ref2layer-only", action="store_true",
+                    help="multiscale row at the reference's own default "
+                         "network (2 layers, 5+16-1=20x20 receptive field, "
+                         "unshared)")
     ap.add_argument("--curves-only", action="store_true",
                     help="redraw quality_curves.png from the JSON's "
                          "recorded histories (includes ablation rows)")
@@ -768,7 +937,10 @@ def main():
             ("multiscale_ccGT_unshared", args.ms_unshared_only,
              ms_unshared_quality),
             ("multiscale_ccGT_capacity", args.ms_capacity_only,
-             ms_capacity_quality)]
+             ms_capacity_quality),
+            ("multiscale_ceiling", args.ms_ceiling_only, multiscale_ceiling),
+            ("multiscale_ccGT_ref2layer", args.ms_ref2layer_only,
+             ms_ref2layer_quality)]
     if any(flag for _, flag, _ in only):
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(HERE, "quality_dossier.json")

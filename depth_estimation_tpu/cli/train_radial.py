@@ -36,6 +36,14 @@ def build_parser():
     p.add_argument("-bs", "--batch-size", type=int, default=32)
     p.add_argument("-omd", "--output-model-dir", default="models_radial")
     p.add_argument("-mf", "--max-flow", type=float, default=None)
+    p.add_argument("-gtd", "--gt-dataset", default=None,
+                   help="name of an index-aligned sibling dataset (under "
+                        "the same root directory) whose frames drive "
+                        "ego-motion geometry and GT targets, while patch "
+                        "PIXELS come from --dataset. The clean-targets "
+                        "training regime for noisy corpora: GT computed "
+                        "on the clean recording, features learned on the "
+                        "noisy one.")
     p.add_argument("-sl", "--scene-length", type=int, default=0,
                    help="frames per scene when the dataset dir holds "
                         "several back-to-back recordings: pairs crossing "
@@ -89,13 +97,35 @@ def main(argv=None) -> int:
     if len(frames) < 2:
         print("no usable pairs", file=sys.stderr)
         return 1
+    gt_frames = None
+    if args.gt_dataset:
+        # clean-targets regime: swap the roles — GT/geometry from the
+        # sibling dataset's frames, pixels from this one's
+        gt_loader = img_mod.ImageLoader(
+            os.path.join(args.root_directory, args.gt_dataset),
+            cal.hImg, cal.wImg)
+        gt_frames = []
+        while len(gt_frames) < len(frames):
+            for _ in range(args.delta - 1 if gt_frames else 0):
+                gt_loader.get_next_frame()
+            f = gt_loader.get_next_frame()
+            if f is None:
+                break
+            gt_frames.append(f)
+        if len(gt_frames) != len(frames):
+            print(f"--gt-dataset {args.gt_dataset} is not index-aligned "
+                  f"({len(gt_frames)} frames vs {len(frames)})",
+                  file=sys.stderr)
+            return 1
     # batched loader: the whole ego-motion/polar-warp/GT stack for every
     # pair runs in a handful of device programs (load_polar_pairs_batched)
     sl = args.scene_length
     pairs = [p for k, p in enumerate(ds_mod.load_polar_pairs_batched(
-        cal, frames, cal.hImg, cal.wImg,
+        cal, gt_frames if gt_frames is not None else frames,
+        cal.hImg, cal.wImg,
         args.h_input, args.w_input, net.w_kernel,
-        geom_gt=geom_gt, max_flow=max_flow))
+        geom_gt=geom_gt, max_flow=max_flow,
+        pixel_frames=frames if gt_frames is not None else None))
         if p.good and (not sl or k // sl == (k + 1) // sl)]
     if not pairs:
         print("no usable pairs", file=sys.stderr)

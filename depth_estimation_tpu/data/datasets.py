@@ -604,11 +604,21 @@ def _rmax_traced(h: int, w: int, ex, ey):
 def _polar_batch_device(prevs, imgs, K, cal_w: int, cal_h: int,
                         h_img: int, w_img: int, h_input: int, w_input: int,
                         w_kernel: int, max_points: int = 400,
-                        quality: float = 0.001):
+                        quality: float = 0.001,
+                        pixel_prevs=None, pixel_imgs=None):
     """Fused ego-motion -> epipole -> rotation removal -> polar warps for a
     (B, H, W, C) stack of frame pairs — one XLA program (the batched
     radial_opticalflow_data.lua:182-288 loop; per-pair eager dispatch costs
-    ~8 round-trips on the tunneled TPU)."""
+    ~8 round-trips on the tunneled TPU).
+
+    ``pixel_prevs``/``pixel_imgs`` (optional, same shapes) split the frame
+    roles: geometry (ego-motion, epipole, polar grid, masks) and the
+    cartesian intermediates the GT matcher consumes come from
+    ``prevs``/``imgs``, while the returned polar PIXEL images are the
+    pixel frames warped through that same geometry. This is the
+    clean-targets training regime (train on noisy pixels, supervise with
+    GT from the aligned clean frames) — and exactly the fair-evaluation
+    construction of the noisy quality rows."""
     from .images import scale as _scale
 
     K = jnp.asarray(K, jnp.float32)
@@ -616,8 +626,10 @@ def _polar_batch_device(prevs, imgs, K, cal_w: int, cal_h: int,
     key = jax.random.PRNGKey(1)
     lp = (w_kernel - 1) // 2
     rp = (w_kernel - 1) - lp
+    if pixel_prevs is None:
+        pixel_prevs, pixel_imgs = prevs, imgs
 
-    def one(prev, img):
+    def one(prev, img, pix_prev, pix_img):
         pts, pvalid = ego.good_features_to_track(prev, max_points, quality)
         pts2, status = ego.track_lk(prev, img, pts)
         em = ego.get_ego_motion_from_matches(pts, pts2, pvalid & status, K,
@@ -635,14 +647,19 @@ def _polar_batch_device(prevs, imgs, K, cal_w: int, cal_h: int,
         grid = polar_ops.get_c2p_grid(w_img, h_img, w_input, h_input,
                                       e2[0], e2[1], lpadding=lp,
                                       rpadding=rp, rmax=rmax)
-        p_img = polar_ops.warp_grid(img_s, grid)
-        p_prev = polar_ops.warp_grid(prev_w, grid)
+        # pixel frames ride the geometry frames' transform chain (when the
+        # two sets are identical XLA CSEs the duplicate warps away)
+        pix_img_s = _scale(pix_img, h_img, w_img)
+        pix_prev_w = undist.remove_ego_motion(_scale(pix_prev, h_img, w_img),
+                                              Ks, em.R)
+        p_img = polar_ops.warp_grid(pix_img_s, grid)
+        p_prev = polar_ops.warp_grid(pix_prev_w, grid)
         p_mask = (polar_ops.warp_grid(mask[..., None], grid)[..., 0]
                   > 0).astype(jnp.float32)
         return (p_img, p_prev, p_mask, e2, em.n_inliers, em.n_found,
                 prev_w, img_s, mask)
 
-    return jax.vmap(one)(prevs, imgs)
+    return jax.vmap(one)(prevs, imgs, pixel_prevs, pixel_imgs)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
@@ -689,20 +706,35 @@ def load_polar_pairs_batched(
     cal: Calibration, frames: List[np.ndarray],
     h_img: int, w_img: int, h_input: int, w_input: int, w_kernel: int,
     geom_gt: Optional[Geometry] = None, max_flow: Optional[float] = None,
-    delta: int = 1,
+    delta: int = 1, pixel_frames: Optional[List[np.ndarray]] = None,
 ) -> List[PolarPair]:
     """Batched radial load_dataset: the whole ego-motion/polar-warp stack
     for all consecutive pairs runs as one device program; GT (if requested)
     goes through the chunked batched exhaustive matcher and one more
     vmapped projection/warp program. Semantics per pair match
-    load_polar_pair (same tracker key and scale)."""
+    load_polar_pair (same tracker key and scale).
+
+    ``pixel_frames`` (optional, index-aligned with ``frames``) splits the
+    frame roles: ``frames`` drive geometry + GT, ``pixel_frames`` supply
+    the polar pixel images — the clean-targets regime (see
+    _polar_batch_device)."""
     prevs = jnp.asarray(np.stack(frames[:-delta]).astype(np.float32))
     imgs = jnp.asarray(np.stack(frames[delta:]).astype(np.float32))
+    pix_prevs = pix_imgs = None
+    if pixel_frames is not None:
+        if len(pixel_frames) != len(frames):
+            raise ValueError("pixel_frames must be index-aligned with "
+                             f"frames ({len(pixel_frames)} vs {len(frames)})")
+        pix_prevs = jnp.asarray(
+            np.stack(pixel_frames[:-delta]).astype(np.float32))
+        pix_imgs = jnp.asarray(
+            np.stack(pixel_frames[delta:]).astype(np.float32))
     (p_img, p_prev, p_mask, e2s, n_inl, n_fnd,
      prev_w, img_s, masks) = _polar_batch_device(
         prevs, imgs, cal.K, cal.wImg, cal.hImg, h_img, w_img,
         h_input, w_input, w_kernel,
-        cal.sfm.max_points, cal.sfm.points_quality)
+        cal.sfm.max_points, cal.sfm.points_quality,
+        pixel_prevs=pix_prevs, pixel_imgs=pix_imgs)
     n_inl = np.asarray(n_inl)
     n_fnd = np.asarray(n_fnd)
     e2s_np = np.asarray(e2s)

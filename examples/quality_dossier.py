@@ -510,7 +510,8 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
                    net_spec: str = "[[3,5,5,10],'tanh']",
                    n_frames: int = 7,
                    zoom=(1.06, 1.12),
-                   n_scenes: int = 1):
+                   n_scenes: int = 1,
+                   clean_gt: bool = False):
     """Radial (polar 1-D) matcher quality row: train through the real CLI
     (cli/train_radial.main) on a synthetic forward-motion scene — two
     depth planes zooming outward from the center epipole, the
@@ -569,8 +570,19 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
     # not share image files, GT caches, or weights
     ds_name = (f"radial_seq_noisy_s{noise:g}" + ("_ms" if n_scenes > 1
                else "") if noise else "radial_seq")
+    if clean_gt:
+        # the clean-targets mechanism-isolation row (round-3 verdict item
+        # 4): SAME noisy pixels, but supervision comes from the aligned
+        # CLEAN frames via the trainer's --gt-dataset flag. Distinct
+        # dataset/model names keep corpora and weights separate.
+        assert noise, "clean_gt only makes sense with noise > 0"
+        ds_name += "_cleangt"
+    gt_ds_name = ds_name + "_gt"
     seq = os.path.join(work, ds_name, "images")
     os.makedirs(seq, exist_ok=True)
+    if clean_gt:
+        seq_gt = os.path.join(work, gt_ds_name, "images")
+        os.makedirs(seq_gt, exist_ok=True)
     frames = []
     # n_scenes > 1 writes SEVERAL short fresh-texture chains back-to-back
     # into one numbered directory (scene-specific feature overfitting is
@@ -590,6 +602,9 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
                                * noise, 0, 1)
             Image.fromarray((save * 255).astype(np.uint8)).save(
                 os.path.join(seq, f"{s * n_frames + i:09d}.png"))
+            if clean_gt:
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(seq_gt, f"{s * n_frames + i:09d}.png"))
             frames.append(save)
             # strong two-plane zoom: radial flow spans most of the hWin
             # window after the cartesian->polar-row rescale (hInput/rmax
@@ -612,7 +627,8 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
             "-ni", str(n_train_imgs), "-hi", str(res), "-wi", str(res),
             "-hwin", str(h_win), "-net", net_spec, "-r", str(lr),
             "-n", str(n_train), "-e", str(epochs), "-omd", omd]
-            + (["-sl", str(n_frames)] if n_scenes > 1 else []))
+            + (["-sl", str(n_frames)] if n_scenes > 1 else [])
+            + (["-gtd", gt_ds_name] if clean_gt else []))
         assert rc == 0, "radial training failed"
 
     import ast
@@ -722,6 +738,8 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
            "raw_ssd_epe_px": round(ssd_err / len(ts), 4)}
     if noise:
         out["noise_sigma"] = noise
+    if clean_gt:
+        out["training_targets"] = "clean-frame ccGT (--gt-dataset)"
     return out
 
 
@@ -875,6 +893,11 @@ def main():
     ap.add_argument("--radial-noisy-only", action="store_true",
                     help="the radial row on photometric-noise scenes — "
                          "multi-scene training, fresh-scene evaluation")
+    ap.add_argument("--radial-noisy-clean-gt-only", action="store_true",
+                    help="the noisy radial row retrained with CLEAN-frame "
+                         "GT targets (same noisy pixels; isolates the "
+                         "corrupted-cc-GT mechanism from raw-SSD's "
+                         "noise-averaging advantage)")
     ap.add_argument("--noise-sigma", type=float, default=None,
                     help="override the noisy row's pixel-noise sigma "
                          "(records under radial_noisy_sigma<val>)")
@@ -932,6 +955,14 @@ def main():
                  work, epochs=150, n_train=9000, noise=nsig,
                  net_spec="[[3,5,5,10],'tanh',[10,5,5,10]]",
                  n_frames=4, zoom=(1.045, 1.085), n_scenes=6)),
+            ("radial_noisy_cleanGT", args.radial_noisy_clean_gt_only,
+             # identical corpus/noise/eval to radial_noisy, but training
+             # targets come from the aligned clean frames (-gtd)
+             lambda work: radial_quality(
+                 work, epochs=150, n_train=9000, noise=nsig,
+                 net_spec="[[3,5,5,10],'tanh',[10,5,5,10]]",
+                 n_frames=4, zoom=(1.045, 1.085), n_scenes=6,
+                 clean_gt=True)),
             ("version2", args.v2_only, v2_quality),
             ("legacy_depth", args.legacy_only, legacy_depth_quality),
             ("multiscale_ccGT_unshared", args.ms_unshared_only,

@@ -279,3 +279,86 @@ def spatial_sharded_radial_fn(net, mesh: Mesh, axis: str = "sp"):
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------------------
+# dp-sharded GT generation / dataset builds (the offline workload)
+# ---------------------------------------------------------------------------
+
+def _dp_shard_map(body, mesh: Mesh, axis: str, n_out: int):
+    """shard_map a per-pair-independent batched ``body`` over ``axis``.
+
+    These offline builds are embarrassingly parallel over pairs, so
+    `shard_map` (not `jit(in_shardings=...)`) is the right tool: each
+    device traces ``body`` at the LOCAL batch shape, which compiles to the
+    same executable as a single-device run at that shape — so every pair's
+    result is BITWISE identical to an unsharded run on its local chunk
+    (tests/test_parallel.py pins this). GSPMD partitioning of the global
+    program would instead reorder dot products by a few ulp, and the
+    ego-motion RANSAC inlier gate turns ulp drift into wholesale
+    divergence on knife-edge pairs."""
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=tuple(P(axis) for _ in range(n_out)) if n_out > 1
+        else P(axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_celiu_fn(mesh: Mesh, axis: str = "dp", **solver_kw):
+    """dp-sharded celiu variational GT — the offline workload the reference
+    actually batch-runs (/root/reference/groundtruth_opticalflow_celiu.lua:8-76,
+    a serial loop over pairs there). The explicit-batch solver
+    (flow/celiu.py coarse2fine_flow_batched) runs per device on its local
+    pair chunk; no cross-device collectives at all.
+    ``solver_kw`` = the solver schedule (alpha, ratio, min_width, n_outer,
+    n_inner, n_sor, ...). B must be a multiple of the mesh size
+    (pad_to_multiple). Returns fn(im1s, im2s) -> (vx, vy, warped), all
+    dp-sharded and per-pair bitwise-equal to a single-device run at the
+    local batch shape."""
+    from ..flow.celiu import coarse2fine_flow_batched
+
+    def body(im1s, im2s):
+        return coarse2fine_flow_batched(im1s, im2s, **solver_kw)
+
+    return _dp_shard_map(body, mesh, axis, n_out=3)
+
+
+def sharded_rectify_fn(mesh: Mesh, cal, h: int, w: int, axis: str = "dp"):
+    """dp-sharded SFM-rectification dataset build: the fused
+    undistort -> ego-motion -> scale -> rotation-warp device program
+    (data/datasets.py _rectify_batch_device) with the pair stack split
+    across the mesh. Per-pair work is independent — no collectives.
+    Returns fn(prevs, imgs) -> (prev_s, img_s, warped, mask, n_inl, n_fnd),
+    per-pair bitwise-equal to a single-device run at the local batch shape
+    (see _dp_shard_map for why shard_map, not GSPMD)."""
+    from ..data import datasets as ds
+
+    def body(prevs, imgs):
+        return ds._rectify_batch_device(
+            prevs, imgs, cal.K, tuple(cal.distortion), h, w,
+            cal.sfm.max_points, cal.sfm.points_quality)
+
+    return _dp_shard_map(body, mesh, axis, n_out=6)
+
+
+def sharded_polar_load_fn(mesh: Mesh, cal, h_img: int, w_img: int,
+                          h_input: int, w_input: int, w_kernel: int,
+                          axis: str = "dp"):
+    """dp-sharded radial/polar dataset build: the fused
+    ego-motion -> epipole -> rotation removal -> polar warps program
+    (data/datasets.py _polar_batch_device) with the pair stack split across
+    the mesh. Returns fn(prevs, imgs) -> the program's 9-tuple, dp-sharded
+    and per-pair bitwise-equal to a single-device run at the local batch
+    shape (see _dp_shard_map)."""
+    from ..data import datasets as ds
+
+    def body(prevs, imgs):
+        return ds._polar_batch_device(
+            prevs, imgs, cal.K, cal.wImg, cal.hImg, h_img, w_img,
+            h_input, w_input, w_kernel,
+            cal.sfm.max_points, cal.sfm.points_quality)
+
+    return _dp_shard_map(body, mesh, axis, n_out=9)

@@ -208,3 +208,152 @@ def test_dp_sharded_full_pipeline_matches_unsharded(mesh8):
 
     for a, b in zip(out_ref, out_sh):
         np.testing.assert_array_equal(a, b)
+
+
+def _assert_bitwise_per_chunk(got, single_fn, prevs, imgs, n_dev):
+    """The dp-sharded offline builds' equivalence contract (round-3 verdict
+    item 3, the 'per-pair bitwise' branch): shard_map traces the body at
+    the LOCAL batch shape, so each device's chunk must be BITWISE equal to
+    a single-device run of the same program on that chunk. (GSPMD
+    jit(in_shardings=...) would instead partition the global program and
+    reorder dot products by a few ulp — which the ego-motion RANSAC's
+    inlier knife edge `d < 1e-3` amplifies into wholesale divergence; see
+    parallel/mesh.py _dp_shard_map.)"""
+    B = np.asarray(prevs).shape[0]
+    loc = B // n_dev
+    for d in range(n_dev):
+        s = slice(d * loc, (d + 1) * loc)
+        want = single_fn(jnp.asarray(prevs[s]), jnp.asarray(imgs[s]))
+        for i, (g_, w_) in enumerate(zip(got, want)):
+            np.testing.assert_array_equal(
+                np.asarray(g_)[s], np.asarray(w_),
+                err_msg=f"device chunk {d}, output {i}")
+
+
+def test_dp_sharded_celiu_gt_matches_single_device(mesh8):
+    """sharded_celiu_fn (round-3 verdict item 3): celiu GT over a dp-split
+    pair batch must be bitwise equal, per device chunk, to the
+    single-device explicit-batch solver at the local batch shape."""
+    from depth_estimation_tpu.flow import celiu
+
+    rng = np.random.RandomState(0)
+    B, H, W = 8, 32, 40
+    base = rng.rand(B, H, W, 1).astype(np.float32)
+    im1 = np.asarray(celiu.gaussian_smooth(jnp.asarray(base), 0.8, 2))
+    im2 = np.roll(im1, 1, axis=2)
+
+    kw = dict(alpha=0.01, ratio=0.75, min_width=16,
+              n_outer=2, n_inner=1, n_sor=10)
+
+    dp = pmesh.make_mesh(jax.devices(), axis="dp")
+    fn = pmesh.sharded_celiu_fn(dp, **kw)
+    a, b = pmesh.shard_batch((jnp.asarray(im1), jnp.asarray(im2)), dp)
+    got = fn(a, b)
+
+    single = jax.jit(lambda x, y: celiu.coarse2fine_flow_batched(
+        x, y, **kw))
+    _assert_bitwise_per_chunk(got, single, im1, im2, len(jax.devices()))
+
+
+def _smooth_shift_pairs(B, H, W, dx=2, seed=1):
+    """B (prev, img) pairs: sliding crops of one gaussian-smoothed texture —
+    clean dx-px translations with NO wrap seam (the test_datasets.py
+    make_sequence fixture). np.roll fixtures put the ego-motion RANSAC on a
+    knife edge (the wrap column is a hard-outlier band and the translation
+    is unrepresentable by the rotation-only model): 1-device vs 8-device
+    compilation ulp drift then flips inlier sets and the fitted R wholesale."""
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    rng = np.random.RandomState(seed)
+    big = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(H + 8, W + 8 + B * dx, 3).astype(np.float32)),
+        1.0, 3))
+    frames = np.stack([big[4:4 + H, 4 + i * dx:4 + W + i * dx]
+                       for i in range(B + 1)])
+    return frames[:-1], frames[1:]
+
+
+def _zoom_chain_pairs(B, H, W, s_top=1.05, s_bottom=1.10, seed=2):
+    """B (prev, img) pairs from a TWO-PLANE center-zoom chain: each frame is
+    the previous one resampled by a zoom about the image center with a
+    different scale above/below the centerline (the test_datasets.py
+    units-test fixture). Forward/zoom motion puts the epipole AT the image
+    center — well-conditioned for the radial pipeline (a lateral shift puts
+    it at infinity and the polar projection degenerates) — and the two
+    depth planes break the planar-homography degeneracy (a single-plane
+    zoom leaves the fundamental matrix, hence the epipole, unconstrained)."""
+    from depth_estimation_tpu.flow.celiu import bilinear_sample, gaussian_smooth
+    rng = np.random.RandomState(seed)
+    base = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(H, W, 3).astype(np.float32)), 0.8, 2))
+    base = np.clip(base * 1.5, 0, 1).astype(np.float32)
+    cy, cx = H / 2, W / 2
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    s = np.where(yy < cy, s_top, s_bottom).astype(np.float32)
+    xs = jnp.asarray(cx + (xx - cx) / s)
+    ys = jnp.asarray(cy + (yy - cy) / s)
+    frames = [base]
+    for _ in range(B):
+        frames.append(np.asarray(bilinear_sample(
+            jnp.asarray(frames[-1]), xs, ys)))
+    frames = np.stack(frames)
+    return frames[:-1], frames[1:]
+
+
+def test_dp_sharded_rectify_build_matches_single_device(mesh8):
+    """sharded_rectify_fn: the dp-split rectification dataset build must be
+    bitwise equal, per device chunk, to the single-device fused program
+    (undistort -> LK ego-motion -> RANSAC -> rotation warp) at the local
+    batch shape."""
+    import dataclasses
+    from depth_estimation_tpu.data import datasets as ds
+    from depth_estimation_tpu.geometry3d import calibration as calmod
+
+    H, W = 48, 64
+    cal = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="dpr", wImg=W, hImg=H,
+        fx=60.0, fy=60.0, cx=W / 2, cy=H / 2,
+        sfm=dataclasses.replace(calmod.RECTIFIED_GOPRO_SMALL.sfm,
+                                max_points=64))
+    prevs, imgs = _smooth_shift_pairs(8, H, W, seed=1)
+
+    dp = pmesh.make_mesh(jax.devices(), axis="dp")
+    fn = pmesh.sharded_rectify_fn(dp, cal, H, W)
+    a, b = pmesh.shard_batch((jnp.asarray(prevs), jnp.asarray(imgs)), dp)
+    got = fn(a, b)
+
+    single = jax.jit(lambda p, i: ds._rectify_batch_device(
+        p, i, cal.K, tuple(cal.distortion), H, W,
+        cal.sfm.max_points, cal.sfm.points_quality))
+    _assert_bitwise_per_chunk(got, single, prevs, imgs, len(jax.devices()))
+
+
+def test_dp_sharded_polar_build_matches_single_device(mesh8):
+    """sharded_polar_load_fn: the dp-split polar dataset build must be
+    bitwise equal, per device chunk, to the single-device fused program
+    (ego-motion -> epipole -> rotation removal -> polar warps) at the
+    local batch shape. Center-zoom two-plane fixture so the epipole is
+    well-conditioned and the full polar path is exercised with real
+    geometry — see _zoom_chain_pairs."""
+    import dataclasses
+    from depth_estimation_tpu.data import datasets as ds
+    from depth_estimation_tpu.geometry3d import calibration as calmod
+
+    H, W = 48, 64
+    cal = dataclasses.replace(
+        calmod.RECTIFIED_GOPRO_SMALL, name="dpp", wImg=W, hImg=H,
+        fx=60.0, fy=60.0, cx=W / 2, cy=H / 2,
+        sfm=dataclasses.replace(calmod.RECTIFIED_GOPRO_SMALL.sfm,
+                                max_points=64))
+    prevs, imgs = _zoom_chain_pairs(8, H, W, seed=2)
+
+    hi = wi = 32
+    wk = 5
+    dp = pmesh.make_mesh(jax.devices(), axis="dp")
+    fn = pmesh.sharded_polar_load_fn(dp, cal, H, W, hi, wi, wk)
+    a, b = pmesh.shard_batch((jnp.asarray(prevs), jnp.asarray(imgs)), dp)
+    got = fn(a, b)
+
+    single = jax.jit(lambda p, i: ds._polar_batch_device(
+        p, i, cal.K, cal.wImg, cal.hImg, H, W, hi, wi, wk,
+        cal.sfm.max_points, cal.sfm.points_quality))
+    _assert_bitwise_per_chunk(got, single, prevs, imgs, len(jax.devices()))

@@ -257,6 +257,15 @@ def cmd_stream(args) -> int:
         a = np.asarray(out)
         return a[0].astype(np.float32), a[1].astype(np.float32)
 
+    from ..utils.viewer import LiveViewer
+    viewer = LiveViewer("stream: x-flow", enabled=bool(args.show))
+    if args.show and viewer.backend == "none":
+        print("--show: no display available, continuing headless")
+
+    def show_flow(xflow, mask):
+        # displayResult convention: gray = flow/16 + 0.5, masked black
+        viewer.show((np.asarray(xflow) / 16.0 + 0.5) * np.asarray(mask))
+
     pool = ThreadPoolExecutor(4) if args.pipeline else None
     pend: deque = deque()
     n = 0
@@ -274,13 +283,17 @@ def cmd_stream(args) -> int:
                 fetch_packed, est.next_frame_packed(fsmall)))
             if len(pend) > args.pipeline:
                 xflow, mask = pend.popleft().result()
+                show_flow(xflow, mask)
         else:
             im, xflow, mask = est.next_frame_depth(frame)
+            show_flow(xflow, mask)
         n += 1
         print(f"frame {n}: {est.timers.report()}  "
               f"FPS: {n / (time.perf_counter() - t0):.2f}")
     while pend:
-        pend.popleft().result()
+        xflow, mask = pend.popleft().result()
+        show_flow(xflow, mask)
+    viewer.close()
     if n:
         dt = time.perf_counter() - t0
         print(f"total: {n} frames in {dt:.2f}s -> {n / dt:.2f} FPS")
@@ -434,6 +447,10 @@ def cmd_video(args) -> int:
                                      cal.distortion)
     last_im_scaled = img_mod.scale(last_im, geom.hImg, geom.wImg)
     k = 0
+    from ..utils.viewer import LiveViewer
+    viewer = LiveViewer("video: panels", enabled=bool(args.show))
+    if args.show and viewer.backend == "none":
+        print("--show: no display available, continuing headless")
     while True:
         frame = loader.get_next_frame()
         if frame is None or (args.num and k >= args.num):
@@ -441,8 +458,9 @@ def cmd_video(args) -> int:
         last_im, last_im_scaled, panel = step(params, last_im,
                                               last_im_scaled,
                                               jnp.asarray(frame))
-        save_image(os.path.join(args.output_dir, f"{k:09d}.png"),
-                   np.asarray(panel))
+        panel_np = np.asarray(panel)
+        save_image(os.path.join(args.output_dir, f"{k:09d}.png"), panel_np)
+        viewer.show(panel_np)
         k += 1
     ok = export_video(args.output_dir, os.path.join(args.output_dir, "out.mp4"),
                       fps=10)
@@ -525,6 +543,9 @@ def main(argv=None) -> int:
     s.add_argument("--head", default="mean")
     s.add_argument("--first", type=int, default=0)
     s.add_argument("--num", type=int, default=0)
+    s.add_argument("--show", action="store_true",
+                   help="live x-flow window when a display exists "
+                        "(headless fallback is a no-op; utils/viewer.py)")
     s.add_argument("--pipeline", type=int, default=0, metavar="K",
                    help="frames in flight (0 = synchronous)")
 
@@ -540,6 +561,9 @@ def main(argv=None) -> int:
                         "(0 = off; ln(maxh*maxw) is the max possible)")
     v.add_argument("--first", type=int, default=0)
     v.add_argument("--num", type=int, default=0)
+    v.add_argument("--show", action="store_true",
+                   help="live panel window when a display exists "
+                        "(headless fallback is a no-op; utils/viewer.py)")
 
     t = sub.add_parser("time-matching")
     t.add_argument("--iters", type=int, default=10)

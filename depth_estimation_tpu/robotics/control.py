@@ -22,10 +22,16 @@ from .runtime import DepthMap, SimulatedAPI
 
 
 class AvoidanceController:
-    def __init__(self, api, depth_map: DepthMap, fov: int = 32):
+    def __init__(self, api, depth_map: DepthMap, fov: int = 32,
+                 viewer=None):
+        """``viewer``: optional utils.viewer.LiveViewer — when given, each
+        control tick shows the 2-D occupancy map live (the reference's
+        cv::imshow map window, test_simulator.cpp:137-147); the headless
+        no-op backend keeps the loop byte-identical without a display."""
         self.api = api
         self.map = depth_map
         self.fov = fov
+        self.viewer = viewer
         self.last_safe_theta = 0.0
 
     def step(self) -> float:
@@ -45,6 +51,8 @@ class AvoidanceController:
         self.map.new_displacement(self.api.get_filtered_translation(),
                                   self.api.get_gyro())
         self.map.new_frame(depth, conf)
+        if self.viewer is not None:
+            self.viewer.show(self.map.to_2d_map())
         return safe
 
     def run(self, n_steps: int) -> np.ndarray:

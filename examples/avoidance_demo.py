@@ -7,7 +7,7 @@ controller on the default obstacle course and writes per-step panels
 (synthetic depth view | polar occupancy map render | top-down trajectory)
 plus an animated GIF into examples/avoidance_out/.
 
-Usage: python examples/avoidance_demo.py [n_steps]
+Usage: python examples/avoidance_demo.py [n_steps] [--show]
 """
 
 import os
@@ -23,7 +23,8 @@ def main() -> int:
     from depth_estimation_tpu.robotics.runtime import DepthMap, SimulatedAPI
     from depth_estimation_tpu.utils.viz import export_video, save_image
 
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    pos_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n_steps = int(pos_args[0]) if pos_args else 60
     out_dir = os.path.join(os.path.dirname(__file__), "avoidance_out")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -32,7 +33,13 @@ def main() -> int:
     # DepthMap(64, 128, 100, 0.9, 320) — the reference main's wiring
     # (test_simulator.cpp:160-172)
     dmap = DepthMap(64, 128, 100.0, 0.9, 320)
-    ctl = AvoidanceController(api, dmap, fov=32)
+    viewer = None
+    if "--show" in sys.argv:
+        from depth_estimation_tpu.utils.viewer import LiveViewer
+        viewer = LiveViewer("avoidance: 2-D map")
+        if viewer.backend == "none":
+            print("--show: no display available, continuing headless")
+    ctl = AvoidanceController(api, dmap, fov=32, viewer=viewer)
 
     traj = []
     for i in range(n_steps):

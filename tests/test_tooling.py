@@ -166,3 +166,34 @@ def test_readme_tables_match_artifacts():
     assert gen.main(["--check"]) == 0, (
         "README tables drift from the recorded artifacts — run "
         "`python benchmarks/gen_readme.py`")
+
+
+def test_live_viewer_headless_fallback(monkeypatch):
+    """--show (round-3 verdict item 7): the LiveViewer must degrade to a
+    silent no-op without a display — env-forced headless here — and the
+    avoidance loop must run unchanged with a viewer attached."""
+    import numpy as np
+    from depth_estimation_tpu.utils.viewer import LiveViewer
+
+    monkeypatch.setenv("DE_TPU_HEADLESS", "1")
+    v = LiveViewer("t")
+    assert v.backend == "none"
+    v.show(np.zeros((8, 8)))          # must be a no-op, not an error
+    v.show(np.zeros((8, 8, 3)))
+    v.close()
+
+    # DISPLAY unset (no DE_TPU_HEADLESS) is also headless
+    monkeypatch.delenv("DE_TPU_HEADLESS")
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    assert LiveViewer("t2").backend == "none"
+
+    # the control loop accepts a viewer and still steps headlessly
+    from depth_estimation_tpu.robotics.control import AvoidanceController
+    from depth_estimation_tpu.robotics.runtime import DepthMap, SimulatedAPI
+    api = SimulatedAPI(64, 48, fixed_dt=0.1, seed=1)
+    api.takeoff()
+    ctl = AvoidanceController(api, DepthMap(16, 32, 100.0, 0.9, 64),
+                              fov=8, viewer=LiveViewer("t3"))
+    traj = ctl.run(3)
+    assert traj.shape == (3, 3)

@@ -19,6 +19,7 @@ import os
 import sys
 
 import numpy as np
+import jax.numpy as jnp
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -45,6 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of scales (0 disables)")
     p.add_argument("-sf", "--share-filters", action="store_true")
     p.add_argument("-lw", "--load-weights", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run: load weights + score "
+                        "history from the output checkpoint (same flags -> "
+                        "same model dir) and train only the remaining "
+                        "epochs. Weight-faithful like the reference's -lw "
+                        "(opticalflow.lua:51,231-232); the optimizer's "
+                        "lr-decay step count is fast-forwarded, the "
+                        "patch-sampling rng is not")
     p.add_argument("-mstw", "--multiscale-trainable-weights", action="store_true")
     p.add_argument("-mssb", "--multiscale-single-beta", action="store_true")
     p.add_argument("-oem", "--output-extraction-method", default="max",
@@ -222,7 +231,22 @@ def main(argv=None) -> int:
     out_dir = os.path.join(args.output_model_dir,
                            model_io.model_dir_name(geom, lrn))
     history = []
-    for epoch in range(args.num_epochs):
+    start_epoch = 0
+    if args.resume and os.path.exists(os.path.join(out_dir, "meta.json")):
+        _, _, saved_params, meta = model_io.load_model(out_dir)
+        state = state._replace(params=saved_params)
+        history = list(meta.get("score", []))
+        start_epoch = len(history)
+        # fast-forward the torch-sgd lr-decay counter to where the
+        # interrupted run left it (one count per optimizer step; the epoch
+        # loops drop the last partial batch)
+        steps = (args.n_train_set // lrn.batch_size) * start_epoch
+        state = state._replace(
+            opt_state={"count": jnp.asarray(steps, jnp.int32)},
+            step=jnp.asarray(steps, jnp.int32))
+        print(f"resume: {out_dir} at epoch {start_epoch} "
+              f"({args.num_epochs - start_epoch} remaining)")
+    for epoch in range(start_epoch, args.num_epochs):
         if args.renew_train_set and epoch > 0:
             sampler = (training.sample_foveas if geom.multiscale
                        else training.sample_patches)

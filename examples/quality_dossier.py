@@ -103,7 +103,8 @@ def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
           n_frames: int = 8, n_train: int = 3000, lr: float = 0.02,
           share_filters: bool = True, n_features: int = 10,
           kernel1: int = None, num_layers: int = 1, kernel2: int = 16,
-          layer_two_size: int = 8, layer_two_connections: int = 4):
+          layer_two_size: int = 8, layer_two_connections: int = 4,
+          resume: bool = False):
     from depth_estimation_tpu.cli import opticalflow
 
     if kernel1 is None:
@@ -134,6 +135,8 @@ def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
         args += ["--multiscale", str(multiscale)]
         if share_filters:
             args += ["--share-filters"]
+    if resume:
+        args += ["--resume"]
     rc = opticalflow.main(args)
     assert rc == 0
     (name,) = os.listdir(out)
@@ -162,13 +165,21 @@ def _ms_variant_quality(work: str, key: str, epochs: int = 400,
     mdir = os.path.join(work, f"models_{key}")
     # resume only from a NON-EMPTY model dir: a run that crashed after
     # mkdir but before the first save leaves an empty dir (round-3 advisor
-    # finding), and os.listdir()[0] would raise instead of retraining
+    # finding), and os.listdir()[0] would raise instead of retraining.
+    # An under-trained checkpoint (a run killed mid-flight) is continued
+    # through the trainer's --resume for the remaining epochs.
     if not (os.path.isdir(mdir) and os.listdir(mdir)):
         mpath = train(root, mdir, epochs, "cross-correlation", multiscale=3,
                       n_frames=n_frames, n_train=n_train,
                       **train_overrides)
     else:
         mpath = os.path.join(mdir, os.listdir(mdir)[0])
+        done = len(json.load(open(os.path.join(mpath, "meta.json")))["score"])
+        if done < epochs:
+            print(f"{key}: checkpoint at epoch {done} < {epochs} — resuming")
+            mpath = train(root, mdir, epochs, "cross-correlation",
+                          multiscale=3, n_frames=n_frames, n_train=n_train,
+                          resume=True, **train_overrides)
 
     meta = json.load(open(os.path.join(mpath, "meta.json")))
     hist = meta["score"]

@@ -43,6 +43,48 @@ def test_opticalflow_cli_end_to_end(tmp_path):
     assert png and os.path.exists(png)
 
 
+def test_opticalflow_cli_resume_continues_run(tmp_path):
+    """--resume: rerunning with the same flags and a higher --num-epochs
+    must pick up the checkpoint (same model dir), keep the recorded score
+    history, and train only the remaining epochs — weight-faithful
+    continuation like the reference's -lw (opticalflow.lua:51,231-232),
+    plus history so the epoch axis stays truthful."""
+    root = make_sequence(tmp_path, n=4, h=64, w=80, dx=2)
+    out = str(tmp_path / "models")
+    from depth_estimation_tpu.cli import opticalflow
+    common = [
+        "--root-directory", root,
+        "--num-input-images", "4",
+        "--n-train-set", "48", "--n-test-set", "16",
+        "--n-features", "8",
+        "--kernel1-size", "5",
+        "--num-layers", "1",
+        "--window-size", "6",
+        "--gt-window-size", "6",
+        "--learning-rate", "0.05",
+        "--batch-size", "16",
+        "--calibration", "test64x80",
+        "--output-model-dir", out,
+    ]
+    assert opticalflow.main(common + ["--num-epochs", "2"]) == 0
+    (d,) = os.listdir(out)
+    first = json.load(open(os.path.join(out, d, "meta.json")))
+    assert len(first["score"]) == 2
+
+    assert opticalflow.main(common + ["--num-epochs", "4", "--resume"]) == 0
+    assert os.listdir(out) == [d]          # same deterministic dir name
+    meta = json.load(open(os.path.join(out, d, "meta.json")))
+    assert len(meta["score"]) == 4
+    # the first two epochs are the original run's, untouched
+    assert meta["score"][:2] == first["score"]
+    assert [s["epoch"] for s in meta["score"]] == [0, 1, 2, 3]
+    # without --resume the same rerun would retrain from scratch epoch 0
+    # (pinned so --resume stays opt-in)
+    assert opticalflow.main(common + ["--num-epochs", "2"]) == 0
+    meta2 = json.load(open(os.path.join(out, d, "meta.json")))
+    assert len(meta2["score"]) == 2
+
+
 def test_radial_cli_end_to_end(tmp_path):
     """Forward-motion sequence over a two-depth scene (top plane far, bottom
     plane near) so the essential-matrix fit is non-degenerate and flow is

@@ -12,12 +12,15 @@ TPU batching notes (benchmarks/profile_full_pipeline.py):
   * the fused matcher batches natively (batch = Pallas grid dimension);
   * ego-motion's windowed ops use the batch-LAST layouts of
     geometry3d/egomotion.py; LK patch sampling is batched MXU matmuls;
-  * the per-item feature warps use the flat take_along_axis gather
-    (undistort.remove_ego_motion_batched), or the gather-free banded
-    shift-sum warp (compensation='warp_banded',
-    undistort.remove_ego_motion_banded — exact within the search margin,
-    band-masked beyond, ~7x faster) — a vmapped 2-D gather measured
-    6.2 ms/pair on the 10-channel feature maps, the flat form replaces it;
+  * the per-item feature warps keep the reference's UNCONDITIONAL 4-tap
+    semantics via speculative dispatch (undistort.remove_ego_motion_exact):
+    a grid-arithmetic predicate routes the whole batch through the banded
+    Pallas kernel when every in-frame displacement is in-band (every frame
+    the pipeline keeps), falling back to the flat take_along_axis gather
+    (undistort.remove_ego_motion_batched) otherwise — a vmapped 2-D gather
+    measured 6.2 ms/pair on the 10-channel feature maps, the flat form
+    replaces it; compensation='warp_banded' uses the banded kernel
+    unconditionally (exact within the search margin, band-masked beyond);
   * the warp-validity mask is computed analytically (pure range test on the
     homography grid, undistort.ego_motion_valid_mask) instead of warping a
     ones-image through the gather path.
@@ -64,8 +67,13 @@ class BatchedDepthEstimator:
             working frame — R is resolution-independent (K rescales), the
             corner/LK/RANSAC stages cost ~1/s^2, and the rotation estimate
             agrees to sub-milliradian on real motion (tested);
-          * compensation: 'warp' = the reference's exact order (gather-warp
-            the previous FEATURE maps by K R K^-1, then match); 'decode' =
+          * compensation: 'warp' = the reference's exact order (warp the
+            previous FEATURE maps by K R K^-1 with unconditional 4-tap
+            semantics, then match) — speculatively dispatched: the banded
+            Pallas kernel when every in-frame displacement is within
+            warp_band (a grid-arithmetic predicate; true on every frame
+            the pipeline keeps), the flat gather otherwise
+            (undistort.remove_ego_motion_exact); 'decode' =
             the gather-free reformulation: match the UNWARPED features and
             subtract the analytic rotation-flow field delta(p) =
             (K R K^-1)p - p from the decoded flow. For |delta| within the
@@ -167,8 +175,13 @@ class BatchedDepthEstimator:
 
             Hf, Wf = last_feats.shape[1], last_feats.shape[2]
             if compensation == "warp":
-                warped = undist.remove_ego_motion_batched(
-                    last_feats, Ks, R, dtype=warp_dtype)
+                # unconditional 4-tap warp semantics, speculatively
+                # dispatched: the banded Pallas kernel when the whole
+                # batch's displacements are in-band (every frame the
+                # pipeline keeps), the flat gather otherwise — see
+                # undistort.remove_ego_motion_exact
+                warped = undist.remove_ego_motion_exact(
+                    last_feats, Ks, R, band=warp_band, dtype=warp_dtype)
                 wmask = undist.ego_motion_valid_mask(Ks, R, Hf, Wf)
                 f1 = flow_model.crop_features_center(g, warped)
             elif compensation == "warp_banded":

@@ -121,6 +121,66 @@ def remove_ego_motion_batched(imgs: jnp.ndarray, K, R,
     return out * ok[..., None]
 
 
+def warp_in_band(K, R, H: int, W: int, band: int) -> jnp.ndarray:
+    """Scalar bool: does EVERY in-frame sample of the homography warp
+    displace by <= ``band`` on both axes? Pure elementwise arithmetic on
+    the grid — no warp, no gather. This is the speculation predicate of
+    remove_ego_motion_exact: when true, the banded warp equals the
+    unconditional 4-tap gather on every pixel the validity mask keeps
+    (out-of-frame pixels are masked identically by both)."""
+    xs, ys = homography_grid(K, R, H, W)
+    jj = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ii = jnp.arange(H, dtype=jnp.float32)[:, None]
+    eps = 1e-3
+    in_frame = ((xs >= -eps) & (xs <= W - 1 + eps)
+                & (ys >= -eps) & (ys <= H - 1 + eps))
+    banded = (jnp.abs(xs - jj) <= band) & (jnp.abs(ys - ii) <= band)
+    return jnp.all(~in_frame | banded)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def remove_ego_motion_exact(imgs: jnp.ndarray, K, R,
+                            band: int = 8, dtype=None) -> jnp.ndarray:
+    """The UNCONDITIONAL 4-tap gather warp (the reference's
+    sfm2.removeEgoMotion, /root/reference/depth_estimation_api.lua:147 —
+    no band restriction), made fast by speculation: TPU gathers issue at
+    index-processing rate (benchmarks/speed_of_light.py bounds the flat
+    form at the pipeline shape), but on every frame the online pipeline
+    keeps, the rotation-compensation displacement sits well inside the
+    matcher's search margin — so dispatch on a cheap on-device predicate
+    (warp_in_band: pure arithmetic on the homography grid):
+
+      * covered (the common case): the VMEM-resident banded Pallas kernel
+        (ops/warp.banded_bilinear_warp) — same bilinear tensor product,
+        equal to the gather within float rounding wherever the
+        displacement is in-band, which the predicate just proved is
+        everywhere in-frame;
+      * not covered (rare: a rotation the bad-image gate is about to
+        reject anyway): the flat-gather form — the same computation as the
+        non-speculative path, equal within the ~1-ulp fusion-rounding
+        drift of compiling under lax.cond (pinned at 1e-6 by
+        tests/test_egomotion.py).
+
+    `lax.cond` on the scalar predicate executes ONE branch per batch (not
+    a select), so the fast path never pays the gather. Semantics are
+    exact for ANY rotation by construction. ``dtype`` as in
+    remove_ego_motion_batched (bf16 storage is inference-only opt-in)."""
+    H, W = imgs.shape[1], imgs.shape[2]
+    covered = warp_in_band(K, R, H, W, band)
+
+    def banded_path(ims):
+        out = remove_ego_motion_banded(ims, K, R, band=band, dtype=dtype)
+        # banded zeroes + band-masks out-of-band pixels; covered means
+        # there are none in-frame, so re-masking with the unconditional
+        # mask changes nothing — both paths return in-frame-masked values
+        return out
+
+    def gather_path(ims):
+        return remove_ego_motion_batched(ims, K, R, dtype=dtype)
+
+    return jax.lax.cond(covered, banded_path, gather_path, imgs)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def remove_ego_motion_banded(imgs: jnp.ndarray, K, R,
                              band: int = 8, dtype=None) -> jnp.ndarray:

@@ -132,6 +132,47 @@ def test_remove_ego_motion_banded_matches_gather():
     np.testing.assert_array_equal(outb[~inb], np.zeros_like(outb[~inb]))
 
 
+def test_remove_ego_motion_exact_speculative_dispatch():
+    """remove_ego_motion_exact keeps the reference's UNCONDITIONAL 4-tap
+    warp semantics (depth_estimation_api.lua:147 — no band restriction)
+    for any rotation: in-band batches ride the banded kernel and must
+    match the gather within float rounding; out-of-band batches fall back
+    to the gather itself (same computation — equal within the ~1-ulp
+    fusion-rounding drift of compiling it inside lax.cond, measured
+    1.2e-7 max here). The speculation predicate
+    (warp_in_band) is pinned on both regimes so the fast path provably
+    engages."""
+    rng = np.random.RandomState(11)
+    B, H, W, C = 3, 40, 56, 4
+    imgs = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32)
+
+    Rsmall = jnp.asarray(np.stack([
+        _rot(0.004, -0.006, 0.003),
+        _rot(-0.008, 0.005, -0.002),
+        np.eye(3, dtype=np.float32)]))
+    assert bool(undistort.warp_in_band(K, Rsmall, H, W, band=8))
+    ref = np.asarray(undistort.remove_ego_motion_batched(imgs, K, Rsmall))
+    out = np.asarray(undistort.remove_ego_motion_exact(
+        imgs, K, Rsmall, band=8))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # one big-yaw item poisons the whole batch's coverage -> gather
+    # fallback for all items, bit-identical to the non-speculative path
+    # (yaw 0.15 rad displaces in-frame pixels ~12 px > band; 0.08 stays
+    # covered because its beyond-band pixels are all out-of-frame, which
+    # the predicate rightly ignores — both paths mask them to zero)
+    Rmix = jnp.asarray(np.stack([
+        _rot(0.004, -0.006, 0.003),
+        _rot(0.0, 0.15, 0.0),
+        np.eye(3, dtype=np.float32)]))
+    assert not bool(undistort.warp_in_band(K, Rmix, H, W, band=8))
+    refm = np.asarray(undistort.remove_ego_motion_batched(imgs, K, Rmix))
+    outm = np.asarray(undistort.remove_ego_motion_exact(
+        imgs, K, Rmix, band=8))
+    np.testing.assert_allclose(outm, refm, atol=1e-6)
+
+
 def synthetic_scene(n, R, T, K, seed=0):
     """Random 3D points in front of both cameras, projected to both views."""
     rng = np.random.RandomState(seed)

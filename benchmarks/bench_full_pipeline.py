@@ -44,12 +44,13 @@ def timed(fn, n, per):
 
 def main():
     ap = argparse.ArgumentParser()
-    # Measured-best dispatch sizes on one v5e chip: 128 for the fast and
-    # banded modes (the Pallas banded warp removed the gather that used to
-    # cap scaling — banded 573@32 -> 643@64 -> 660@128, fast 711 -> 845 ->
-    # 894, plateauing by 256 at 891); the strict gather-warp parity mode
-    # still prefers 32 (gather issue rate does not scale with batch:
-    # 278@32 -> 212@128)
+    # Measured-best dispatch size on one v5e chip: 128 for ALL modes.
+    # Fast 711@32 -> 845@64 -> 894@128 (plateau 891@256); banded 573 ->
+    # 643 -> 660. Parity used to prefer 32 (the unconditional gather's
+    # issue rate did not scale: 278@32 -> 212@128) — the speculative
+    # dispatch (undistort.remove_ego_motion_exact) routes covered batches
+    # through the banded Pallas kernel, so parity now scales like banded:
+    # 567@32 -> 657@128 -> 636@256.
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--head", default="mean", choices=("mean", "max"))
     ap.add_argument("--dtype", default="bfloat16",
@@ -90,7 +91,7 @@ def main():
     model = FlowModel(g)
     params = model.init(jax.random.PRNGKey(0))
 
-    B = args.batch or (128 if (args.fast or args.warp_banded) else 32)
+    B = args.batch or 128
     est = BatchedDepthEstimator(
         g, params, ARDRONE, head=args.head,
         match_dtype={"bfloat16": jnp.bfloat16, "float16": jnp.float16,

@@ -60,8 +60,12 @@ def perf_table(results: dict, headline) -> str:
     else:
         head_cell = "run `python bench.py`"
     parity = r["full_pipeline_parity_fps"]
-    parity_cell = (f"{parity:.1f} fps with the strict 4-tap gather warp "
-                   "(`full_pipeline_parity_fps`)")
+    parity_cell = (f"**{parity:.1f} fps with the unconditional 4-tap warp "
+                   "semantics** (`full_pipeline_parity_fps`, B=128 — "
+                   "speculative dispatch: a grid-arithmetic predicate "
+                   "routes covered batches through the banded Pallas "
+                   "kernel, gather fallback otherwise; was 275.1 with the "
+                   "always-gather form)")
     rows = [
         ("headline",
          "640x480 frame-pair MATCHING core (matmul resize + conv trunk + "

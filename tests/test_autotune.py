@@ -89,6 +89,7 @@ def test_partial_sweep_not_persisted(tuned_store):
     assert not os.path.exists(p) or "k4" not in json.load(open(p))
 
 
+@pytest.mark.slow
 def test_estimator_auto_block_matches_fixed(tuned_store):
     """match_block='auto' resolves during reset() and the step output is
     bitwise identical to a fixed block (pure blocking factor)."""

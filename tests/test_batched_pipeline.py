@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from depth_estimation_tpu import api
 from depth_estimation_tpu.geometry import Geometry
@@ -50,6 +51,7 @@ def test_enlarge_mask_batched_matches_single():
         np.testing.assert_array_equal(out_b[i], out_s)
 
 
+@pytest.mark.slow
 def test_ego_motion_batched_recovers_rotation():
     """Each batch item is a pair related by a known small rotation; the
     batched estimator must recover each R (same physics as the per-pair
@@ -79,6 +81,7 @@ def test_ego_motion_batched_recovers_rotation():
         assert abs(got - a) < 5e-3, (i, got, a)
 
 
+@pytest.mark.slow
 def test_batched_pipeline_agrees_with_step():
     """The batched program's flow/mask agree with DepthEstimator's per-frame
     path on translation pairs (identical physics; keys differ)."""
@@ -129,6 +132,7 @@ def test_batched_pipeline_agrees_with_step():
     assert np.isfinite(d[np.abs(xflow) >= 0.1]).all()
 
 
+@pytest.mark.slow
 def test_throughput_knobs_agree_with_parity_path():
     """warp_dtype=bf16 + ego_downsample=2 must reproduce the default
     batched path's flow/mask up to small precision noise (these are the

@@ -102,6 +102,7 @@ def test_sor_pallas_matches_xla_loop():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_zero_motion_gives_zero_flow():
     rng = np.random.RandomState(1)
     im = rng.rand(40, 48, 1).astype(np.float32)
@@ -111,6 +112,7 @@ def test_zero_motion_gives_zero_flow():
     assert np.abs(np.asarray(v)).max() < 0.05
 
 
+@pytest.mark.slow
 def test_known_shift_recovered():
     rng = np.random.RandomState(2)
     base = rng.rand(80, 96, 1).astype(np.float32)
@@ -128,6 +130,7 @@ def test_known_shift_recovered():
     assert abs(np.median(inner_v)) < 0.25, np.median(inner_v)
 
 
+@pytest.mark.slow
 def test_car_pair_photometric_improvement():
     """On the bundled real pair, warping by the solved flow must reduce the
     photometric error a lot vs identity warp."""
@@ -144,6 +147,7 @@ def test_car_pair_photometric_improvement():
     assert np.abs(np.asarray(u)).max() < 30
 
 
+@pytest.mark.slow
 def test_table_pair_and_debug_utils():
     """Second bundled pair (table1/table2) + the numeric sanitizers."""
     from depth_estimation_tpu.data.images import load_image, scale
@@ -204,6 +208,7 @@ def test_bicubic_warp_zero_flow_identity_and_oob():
     np.testing.assert_allclose(out2, np.clip(np.asarray(im1), 0, 1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gmm_noise_model_flow_and_em():
     """noise_model='gmm' (OpticalFlow.cpp:296-305 + estGaussianMixture
     :764-815) recovers the same known shift as the Lap default, and the EM
@@ -227,6 +232,7 @@ def test_gmm_noise_model_flow_and_em():
     assert (a > 0.9).all() and (s < 0.05).all() and np.isfinite(b).all()
 
 
+@pytest.mark.slow
 def test_bicubic_interpolation_option_end_to_end():
     rng = np.random.RandomState(5)
     base = rng.rand(60, 72, 1).astype(np.float32)
@@ -241,6 +247,7 @@ def test_bicubic_interpolation_option_end_to_end():
 
 
 @pytest.mark.parametrize("pair", ["table", "car"])
+@pytest.mark.slow
 def test_flow_render_vs_bundled_reference_output(pair):
     """Validate the solver against the reference's own bundled renders
     (/root/reference/celiu/output/{table,car}_flow.jpg, produced by
@@ -291,6 +298,7 @@ def test_flow_render_vs_bundled_reference_output(pair):
     assert cos2.mean() > 0.95, cos2.mean()
 
 
+@pytest.mark.slow
 def test_batched_solver_matches_single():
     """coarse2fine_flow_batched (explicit leading batch dim — the TPU
     batching path replacing the vmap that faults the worker at B >= 4)
@@ -318,6 +326,7 @@ def test_batched_solver_matches_single():
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_solver_matches_single_gmm_bicubic():
     """The two solver switches (GMixture noise model, bicubic warp) must
     also agree between the explicit-batch and single-pair paths."""

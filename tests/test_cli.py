@@ -11,6 +11,7 @@ import pytest
 from tests.test_datasets import make_sequence
 
 
+@pytest.mark.slow
 def test_opticalflow_cli_end_to_end(tmp_path):
     root = make_sequence(tmp_path, n=4, h=64, w=80, dx=2)
     out = str(tmp_path / "models")
@@ -85,6 +86,7 @@ def test_opticalflow_cli_resume_continues_run(tmp_path):
     assert len(meta2["score"]) == 2
 
 
+@pytest.mark.slow
 def test_radial_cli_end_to_end(tmp_path):
     """Forward-motion sequence over a two-depth scene (top plane far, bottom
     plane near) so the essential-matrix fit is non-degenerate and flow is
@@ -136,6 +138,7 @@ def test_radial_cli_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "mr" / "e0.msgpack")
 
 
+@pytest.mark.slow
 def test_radial_cli_scene_length_drops_seam_pairs(tmp_path, capsys):
     """--scene-length deterministically drops pairs that straddle scene
     boundaries in a multi-scene dataset dir. The ego-motion inlier gate is
@@ -219,6 +222,7 @@ def register_test_calibrations():
     calmod.PRESETS.pop("test64x64", None)
 
 
+@pytest.mark.slow
 def test_time_matching_tool(capsys):
     from depth_estimation_tpu.cli import tools
     rc = tools.main(["time-matching", "--iters", "2"])
@@ -227,6 +231,7 @@ def test_time_matching_tool(capsys):
     assert "filter" in out and "fps" in out
 
 
+@pytest.mark.slow
 def test_v2_cli_end_to_end(tmp_path):
     root = make_sequence(tmp_path, n=3, h=64, w=80, dx=2)
     from depth_estimation_tpu.cli import train_v2
@@ -241,6 +246,7 @@ def test_v2_cli_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "mv2" / "e0")
 
 
+@pytest.mark.slow
 def test_video_pipeline_end_to_end(tmp_path):
     """Full offline video pipeline (test_opticalflow.lua stage list) on a
     small synthetic sequence: panels with all three rows written, no op in
@@ -282,6 +288,7 @@ def test_video_pipeline_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out2, "000000000.png"))
 
 
+@pytest.mark.slow
 def test_legacy_depth_cli_end_to_end(tmp_path):
     """Train the legacy depth classifier on a synthetic scene where depth
     correlates with brightness, then run inference-on-image — the
@@ -342,6 +349,7 @@ def test_legacy_depth_cli_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "depth_classes_000000001.npz"))
 
 
+@pytest.mark.slow
 def test_radial_tester_cli_with_dense_baseline(tmp_path):
     """The radial tester streaming loop incl. the dense-flow comparison
     column (celiu standing in for the reference's OpenCV Farneback,

@@ -147,6 +147,7 @@ def test_v2_network_forward_and_shift():
     assert (inner == 1).mean() > 0.9, np.unique(inner, return_counts=True)
 
 
+@pytest.mark.slow
 def test_liu_gt_cache(tmp_path):
     g = Geometry(hImg=40, wImg=48)
     rng = np.random.RandomState(2)
@@ -198,6 +199,7 @@ def test_scale_batched_device_matches_resize():
     np.testing.assert_array_equal(np.asarray(same), frames)
 
 
+@pytest.mark.slow
 def test_load_mc_pair_recovers_affine_motion():
     """The -mc backend (load_mc_pair) must align a previous frame related to
     the current one by an in-plane rotation + translation — exactly the
@@ -339,6 +341,7 @@ def test_batched_rectification_matches_per_pair(tmp_path):
         np.testing.assert_array_equal(batched[k].flow, single.flow)
 
 
+@pytest.mark.slow
 def test_batched_polar_loader_matches_per_pair(tmp_path):
     """load_polar_pairs_batched (fused device program for all pairs) must
     reproduce the per-pair reference formulation: same tracker key, same polar
@@ -396,6 +399,7 @@ def test_batched_polar_loader_matches_per_pair(tmp_path):
         assert diff.max() <= 1.0 + 1e-6, diff.max()
 
 
+@pytest.mark.slow
 def test_polar_gt_units_are_polar_rows():
     """The warped GT must be in POLAR ROWS, not cartesian pixels: the polar
     warp maps r in [0, rmax] onto hInput rows, so a radial displacement of

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from depth_estimation_tpu.geometry3d import calibration, egomotion, undistort
+import pytest
 
 
 def test_lsq_trans_recovers_translation_rotation():
@@ -47,6 +48,7 @@ def test_lsq_ransac_rejects_outliers():
     assert int(inliers) >= n - k - 5
 
 
+@pytest.mark.slow
 def test_track_lk_known_shift():
     rng = np.random.RandomState(2)
     from depth_estimation_tpu.flow.celiu import gaussian_smooth
@@ -93,6 +95,7 @@ def _rot(ax, ay, az):
     return (Rx @ Ry @ Rz).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_remove_ego_motion_banded_matches_gather():
     """The banded shift-sum warp must EQUAL the gather warp wherever the
     rotation displacement stays within the band (it is the same bilinear
@@ -259,6 +262,7 @@ def test_essential_fundamental_epipolar_constraint():
     assert np.abs(resid).max() < 1e-3, np.abs(resid).max()
 
 
+@pytest.mark.slow
 def test_track_lk_windowed_agrees_with_full():
     """The window-cached LK (track_lk_windowed — per-level integer-aligned
     search windows, tiny per-iteration matmuls) must recover the same
@@ -312,6 +316,7 @@ def test_grid_dims_never_degenerate():
         assert target / 2 <= gh <= target * 2, (n, gh, gw)
 
 
+@pytest.mark.slow
 def test_grid_selector_batched_matches_single():
     rng = np.random.RandomState(7)
     from test_batched_pipeline import _texture

@@ -13,6 +13,7 @@ import numpy as np
 from depth_estimation_tpu.data import groundtruth
 from depth_estimation_tpu.geometry import Geometry
 from depth_estimation_tpu.training import score
+import pytest
 
 
 def small_geometry():
@@ -143,6 +144,7 @@ def test_cc_mean_gt_method(tmp_path):
     assert (root / "max" / "1" / "f0.npz").exists()
 
 
+@pytest.mark.slow
 def test_liu_groundtruth_selected_by_loader(tmp_path):
     """-gt liu must actually route GT through the variational solver
     (previously the loader silently computed cross-correlation GT)."""

@@ -8,6 +8,7 @@ import numpy as np
 from depth_estimation_tpu.data import depth_legacy as dl
 from depth_estimation_tpu.models.legacy_depth import (
     DepthClassifierCNN, LegacyFlowModel)
+import pytest
 
 
 def test_discretizer_classes():
@@ -62,6 +63,7 @@ def test_generate_continuous():
     assert (depths >= 0).all() and (depths <= 60).all()
 
 
+@pytest.mark.slow
 def test_depth_classifier_cnn_shapes():
     net = DepthClassifierCNN(n_classes=7, in_channels=2)
     x = jnp.zeros((46, 46, 2), jnp.float32)

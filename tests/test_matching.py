@@ -129,6 +129,7 @@ def test_radial_matching():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fast_kernel_agrees_with_fused():
     """Norm-decomposed fast path decodes identically on non-degenerate
     inputs (interpret mode, small size)."""
@@ -233,6 +234,7 @@ def test_fused_kernel_bf16_parity():
 
 
 
+@pytest.mark.slow
 def test_kernels_f16_parity():
     """f16 feature STORAGE (10 mantissa bits at bf16's 2-byte traffic) must
     agree with f32 much tighter than bf16 does. Contract test on random
@@ -258,6 +260,7 @@ def test_kernels_f16_parity():
                                    atol=0.05)
 
 
+@pytest.mark.slow
 def test_fast_kernel_bf16_parity():
     """bf16 feature storage in match_flow_fast agrees with the f32 fused
     kernel on nearly all WTA indices and on soft-argmax within tolerance
@@ -277,6 +280,7 @@ def test_fast_kernel_bf16_parity():
                                atol=0.25)
 
 
+@pytest.mark.slow
 def test_fast_kernel_large_magnitude_features():
     """Regression: trained feature maps reach costs of hundreds; the
     norm-decomposed kernel's softmax must not underflow to s = 0 / NaN

@@ -68,6 +68,7 @@ def test_band_concat_matches_codec(ratios):
         assert cell == ty * g.maxw + tx, (k, dy, dx, s, cell)
 
 
+@pytest.mark.slow
 def test_full_image_recovers_shift():
     g = make_geometry((1, 2))
     model = ms.MultiscaleFlowModel(g)
@@ -137,6 +138,7 @@ def test_fovea_matches_prepare_target():
         assert (py, px) == (ty, tx), ((dy_c, dx_c), (py, px), (ty, tx))
 
 
+@pytest.mark.slow
 def test_decode_full_matches_forward_full_argmax():
     """decode_full must equal the argmax (with middle tie-break) and max
     probability of the full multiscale distribution."""
@@ -207,6 +209,7 @@ def test_cascade_beta_reference_init_is_reciprocal():
 
 
 @pytest.mark.parametrize("single_beta", [False, True])
+@pytest.mark.slow
 def test_trainable_beta_model_gradients(single_beta):
     """-mstw/-mssb end-to-end: init grows a cascade collection, the fovea
     forward consumes it, and gradients reach the betas."""
@@ -337,6 +340,7 @@ def test_forward_fovea_batch_matches_per_sample():
         np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_unshared_filters_branch():
     """share_filters=False trains an INDEPENDENT filter per pyramid scale
     (the reference clones the trunk instead of weight-sharing it,

@@ -166,6 +166,7 @@ def test_spatial_sharded_radial_matches_unsharded(mesh8):
     np.testing.assert_allclose(np.asarray(cost_s), cost_u, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_sharded_full_pipeline_matches_unsharded(mesh8):
     """The COMPLETE per-frame online program (prep -> ego-motion ->
     compensation -> fused match -> masks -> depth), dp-sharded over the
@@ -230,6 +231,7 @@ def _assert_bitwise_per_chunk(got, single_fn, prevs, imgs, n_dev):
                 err_msg=f"device chunk {d}, output {i}")
 
 
+@pytest.mark.slow
 def test_dp_sharded_celiu_gt_matches_single_device(mesh8):
     """sharded_celiu_fn (round-3 verdict item 3): celiu GT over a dp-split
     pair batch must be bitwise equal, per device chunk, to the
@@ -299,6 +301,7 @@ def _zoom_chain_pairs(B, H, W, s_top=1.05, s_bottom=1.10, seed=2):
     return frames[:-1], frames[1:]
 
 
+@pytest.mark.slow
 def test_dp_sharded_rectify_build_matches_single_device(mesh8):
     """sharded_rectify_fn: the dp-split rectification dataset build must be
     bitwise equal, per device chunk, to the single-device fused program

@@ -10,6 +10,7 @@ import numpy as np
 
 from depth_estimation_tpu.geometry3d import polar
 from depth_estimation_tpu.models.radial import RadialFlowNetwork
+import pytest
 
 
 def smooth_image(h, w, seed=0):
@@ -19,6 +20,7 @@ def smooth_image(h, w, seed=0):
     return np.asarray(gaussian_smooth(jnp.asarray(img), 2.0, 6))
 
 
+@pytest.mark.slow
 def test_polar_roundtrip():
     img = smooth_image(96, 128)
     c2p = polar.get_c2p_grid(128, 96, 160, 100)

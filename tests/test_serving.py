@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from depth_estimation_tpu import serving
 from depth_estimation_tpu.geometry import Geometry, Learning
 from depth_estimation_tpu.models.flow import FlowModel
+import pytest
 
 
 def _tiny():
@@ -33,6 +34,7 @@ def test_flow_forward_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_pipeline_pairs_roundtrip(tmp_path):
     import dataclasses
     from depth_estimation_tpu import api_batched as apib
@@ -210,6 +212,7 @@ def test_v2_export_roundtrip_and_cli(tmp_path):
     assert serving.detect_family(str(mdir))[1] is None
 
 
+@pytest.mark.slow
 def test_legacy_depth_export_roundtrip_and_cli(tmp_path):
     """export_legacy_depth + `tools export` autodetection of the
     cli/depth_estimation.py checkpoint layout (meta.json n_classes +

@@ -175,6 +175,21 @@ def test_remove_ego_motion_exact_speculative_dispatch():
         imgs, K, Rmix, band=8))
     np.testing.assert_allclose(outm, refm, atol=1e-6)
 
+    # the subtle boundary regime: a 0.08-rad yaw displaces its deepest
+    # border pixels beyond the band, but every one of those samples lands
+    # OUT OF FRAME (both paths mask them to zero), so the predicate must
+    # still claim coverage — and the banded output must still equal the
+    # gather everywhere, zeros included
+    Redge = jnp.asarray(np.stack([
+        _rot(0.0, 0.08, 0.0),
+        np.eye(3, dtype=np.float32),
+        np.eye(3, dtype=np.float32)]))
+    assert bool(undistort.warp_in_band(K, Redge, H, W, band=8))
+    refe = np.asarray(undistort.remove_ego_motion_batched(imgs, K, Redge))
+    oute = np.asarray(undistort.remove_ego_motion_exact(
+        imgs, K, Redge, band=8))
+    np.testing.assert_allclose(oute, refe, atol=2e-5)
+
 
 def synthetic_scene(n, R, T, K, seed=0):
     """Random 3D points in front of both cameras, projected to both views."""

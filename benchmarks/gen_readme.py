@@ -135,6 +135,15 @@ def quality_table(dossier: dict) -> str:
                 f"{vs['analytic']['meanDst']:.3f} | "
                 f"{vs['liuGT']['meanDst']:.3f} |")
 
+    def vrow(label, key):
+        # the multiscale ablation/architecture rows (_ms_variant_quality)
+        # score only vs the analytic flow — no liu column
+        d = dossier[key]
+        return (f"| {label} | cross-correlation | "
+                f"{d['final_patch_acc']:.3f} | "
+                f"{d['full_acc_analytic']:.3f} | "
+                f"{d['meanDst_analytic']:.3f} | — |")
+
     lines = [
         "| model | GT | patch acc | full acc (analytic) | "
         "meanDst (analytic) | meanDst (liu) |",
@@ -142,7 +151,22 @@ def quality_table(dossier: dict) -> str:
         row("single-scale 16x16", "cross-correlation", "single_scale_ccGT"),
         row("single-scale 16x16", "liu", "single_scale_liuGT"),
         row("multiscale 3-level", "cross-correlation", "multiscale_ccGT"),
+        vrow("multiscale, unshared per-scale filters",
+             "multiscale_ccGT_unshared"),
+        vrow("multiscale, 2x first-layer capacity",
+             "multiscale_ccGT_capacity"),
     ]
+    if "multiscale_ccGT_ref2layer" in dossier:
+        lines.append(vrow("multiscale @ reference default net "
+                          "(2-layer, 20x20 RF, unshared)",
+                          "multiscale_ccGT_ref2layer"))
+    if "multiscale_ceiling" in dossier:
+        c = dossier["multiscale_ceiling"]["codec"]
+        lines.append(
+            "| multiscale codec round-trip (design ceiling, no model) | — "
+            f"| — | {c['mean_full_acc']:.3f} (7-pair mean; held-out pair "
+            f"{c['held_out_full_acc']:.2f}) | {c['mean_meanDst']:.3f} "
+            "| — |")
     return "\n".join(lines)
 
 

@@ -216,9 +216,9 @@ def ms_capacity_quality(work: str, **kw):
     """Multiscale row with DOUBLED filter capacity (7x7 kernels, 20
     features instead of the reference's 5x5 x 10,
     opticalflow_model_multiscale.lua:219-225 geometry defaults): measures
-    how much of the main row's plateau is first-layer CAPACITY — if this
-    row plateaus in the same band, the residual is the foveated design's
-    own index quantization, not the filter.
+    how much of the main row's plateau is first-layer CAPACITY. (Measured
+    answer: little — the dominant trainable residual turned out to be
+    receptive field + depth, closed by the ms_ref2layer row below.)
     Records ``multiscale_ccGT_capacity``."""
     return _ms_variant_quality(work, "multiscale_ccGT_capacity",
                                n_features=20, kernel1=7, **kw)
@@ -268,8 +268,10 @@ def _oracle_ms_decode(geom, img1, img2):
     avg-pool downsample, per-scale SSD matcher + softmax, cascade,
     middle-band removal, concat-codec WTA with the middle tie-break) with
     the conv trunk replaced by lossless patch features (_Im2ColFilter).
-    Upper-bounds what ANY trained filter of that receptive field can make
-    the decode produce."""
+    The NO-LEARNING floor at that receptive field — not a ceiling: the
+    ref2layer trained row beats the 16x16 oracle (0.487 vs 0.386 full
+    acc) because learned nonlinear features shape the per-scale score
+    distributions the cascade mixes, which raw-patch SSD cannot."""
     import jax
     import jax.numpy as jnp
     from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel

@@ -167,6 +167,11 @@ def main(argv=None) -> int:
         bs = args.batch_size
         n = (len(train_c) // bs) * bs
         history = []
+        # one corpus upload, on-device batch gathers (utils/device_cache.py:
+        # per-step uploads leak host RSS on tunneled TPUs)
+        train_p_d = jnp.asarray(train_p)
+        train_c0_d = jnp.asarray(train_c - 1)
+        test_p_d = jnp.asarray(test_p)
         for epoch in range(args.num_epochs):
             order = np.arange(n)
             rng.shuffle(order)
@@ -175,8 +180,7 @@ def main(argv=None) -> int:
             for b in range(0, n, bs):
                 sel = order[b:b + bs]
                 params, opt_state, loss, pred = step(
-                    params, opt_state, jnp.asarray(train_p[sel]),
-                    jnp.asarray(train_c[sel] - 1))
+                    params, opt_state, train_p_d[sel], train_c0_d[sel])
                 losses.append(loss)
                 preds.append((sel, pred))
             # batched fetches: per-step scalar fetches cost a full tunnel
@@ -186,7 +190,7 @@ def main(argv=None) -> int:
                                  jax.device_get([p for _, p in preds])):
                 np.add.at(conf, (train_c[sel] - 1, pred), 1)
             acc = np.trace(conf) / max(conf.sum(), 1)
-            tpred = np.asarray(infer(params, jnp.asarray(test_p)))
+            tpred = np.asarray(infer(params, test_p_d))
             tacc = float((tpred == test_c - 1).mean())
             print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
                   f"train acc {acc:.3f} test acc {tacc:.3f}")

@@ -166,14 +166,17 @@ def main(argv=None) -> int:
     os.makedirs(args.output_model_dir, exist_ok=True)
     bs = args.batch_size
     n = (len(ts) // bs) * bs
+    # upload the corpus once and gather batches on device — re-uploading
+    # data[sel] every step leaks host RSS on tunneled TPUs
+    # (utils/device_cache.py has the measurements)
+    p1_d, p2_d, ts_d = jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(ts)
     for epoch in range(args.num_epochs):
         order = rng.permutation(n)
         losses, accs = [], []
         for b in range(0, n, bs):
             sel = order[b:b + bs]
             params, opt_state, loss, acc = step(
-                params, opt_state, jnp.asarray(p1[sel]), jnp.asarray(p2[sel]),
-                jnp.asarray(ts[sel]))
+                params, opt_state, p1_d[sel], p2_d[sel], ts_d[sel])
             losses.append(loss)
             accs.append(acc)
         # one device->host fetch per epoch: per-step scalar fetches cost a

@@ -73,16 +73,18 @@ def main(argv=None) -> int:
     os.makedirs(args.output_model_dir, exist_ok=True)
     bs = args.batch_size
     n = (len(patches) // bs) * bs
+    # one corpus upload, on-device batch gathers (utils/device_cache.py:
+    # per-step uploads leak host RSS on tunneled TPUs)
+    p1_d = jnp.asarray(patches.patches1)
+    p2_d = jnp.asarray(patches.patches2)
+    ts_d = jnp.asarray(patches.itargets)
     for epoch in range(args.num_epochs):
         order = rng.permutation(n)
         losses, accs = [], []
         for b in range(0, n, bs):
             sel = order[b:b + bs]
             params, opt_state, loss, acc = step(
-                params, opt_state,
-                jnp.asarray(patches.patches1[sel]),
-                jnp.asarray(patches.patches2[sel]),
-                jnp.asarray(patches.itargets[sel]))
+                params, opt_state, p1_d[sel], p2_d[sel], ts_d[sel])
             losses.append(loss)
             accs.append(acc)
         # one device->host fetch per epoch (see training/train.py)

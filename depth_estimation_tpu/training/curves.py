@@ -19,7 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import Geometry, Learning
+from ..utils.device_cache import DeviceCache
 from . import score as score_mod
+
+# score_epoch runs once per training epoch on a FIXED eval set; cache its
+# uploads across calls (per-epoch re-uploads leak host RSS on tunneled
+# TPUs — utils/device_cache.py has the measurements)
+_patch_uploads = DeviceCache()
+_pair_uploads = DeviceCache()
 
 
 def score_epoch(model, params, geom: Geometry, lrn: Learning, test_ds,
@@ -37,8 +44,8 @@ def score_epoch(model, params, geom: Geometry, lrn: Learning, test_ds,
 
     out: Dict = {}
     # patch accuracy + NLL (evalOpticalFlowPatches, :72-113)
-    logp = jax.vmap(lambda a, b: model.log_scores(params, a, b))(
-        jnp.asarray(test_ds.patches1), jnp.asarray(test_ds.patches2))
+    tp1, tp2 = _patch_uploads.get(test_ds.patches1, test_ds.patches2)
+    logp = jax.vmap(lambda a, b: model.log_scores(params, a, b))(tp1, tp2)
     logp = np.asarray(logp.reshape(logp.shape[0], -1))
     pred = logp.argmax(-1)
     it = np.asarray(test_ds.itargets)
@@ -47,13 +54,14 @@ def score_epoch(model, params, geom: Geometry, lrn: Learning, test_ds,
 
     # full-image accuracy + meanDst (evalOpticalFlowFull, :115-134)
     if pairs and flows:
+        nk = min(n_images, len(flows))
+        pairs_d = _pair_uploads.get(*[im for pr in pairs[:nk] for im in pr])
         accs, dsts = [], []
-        for k in range(min(n_images, len(flows))):
+        for k in range(nk):
             if flows[k] is None:
                 continue
-            im1, im2 = pairs[k]
-            dist = model.scores(params, jnp.asarray(im1),
-                                jnp.asarray(im2))
+            im1, im2 = pairs_d[2 * k], pairs_d[2 * k + 1]
+            dist = model.scores(params, im1, im2)
             dec = flow_model.process_output(geom, dist, process_full=True)
             s = score_mod.eval_flow(geom, np.asarray(dec.full), flows[k])
             accs.append(s.accuracy)
@@ -154,6 +162,9 @@ def sweep_thresholds(model, params, geom: Geometry, pairs, flows,
     that is (warped prev, current), NOT two consecutive currents)."""
     from ..models import flow as flow_model
 
+    # upload the eval pairs once, not once per threshold (tunneled-TPU
+    # upload leak — utils/device_cache.py)
+    pairs_d = [(jnp.asarray(im1), jnp.asarray(im2)) for im1, im2 in pairs]
     results = []
     for thr in thresholds:
         kept, good = 0, 0
@@ -161,9 +172,8 @@ def sweep_thresholds(model, params, geom: Geometry, pairs, flows,
         for k in range(len(flows)):
             if flows[k] is None:
                 continue
-            im1, im2 = pairs[k]
-            dist = model.scores(params, jnp.asarray(im1),
-                                jnp.asarray(im2))
+            im1, im2 = pairs_d[k]
+            dist = model.scores(params, im1, im2)
             dec = flow_model.process_output(geom, dist, process_full=True,
                                             threshold=thr)
             hb, wb = score_mod.borders(geom)

@@ -22,6 +22,7 @@ import optax
 from .. import codecs
 from ..geometry import Geometry, Learning
 from ..models import flow as flow_model
+from ..utils.device_cache import DeviceCache
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +305,11 @@ class MultiscaleTrainer:
 
         self._step_fn = step
         self._step = jax.jit(step)
+        # dataset uploads are cached across epoch() calls: on a tunneled
+        # TPU every upload permanently leaks its size in host RSS, and
+        # re-uploading an unchanged dataset each epoch leaked
+        # ~0.8 GB/epoch here (utils/device_cache.py has the measurements)
+        self._uploads = DeviceCache()
 
     def init(self, rng):
         params = self.model.init(rng)
@@ -319,14 +325,13 @@ class MultiscaleTrainer:
             shuffle_rng.shuffle(order)
         assert ds.crops1 is not None, \
             "FoveaDataset without materialized crops (rebuild via sample_foveas)"
-        crops1 = jnp.asarray(ds.crops1)
-        crops2 = jnp.asarray(ds.crops2)
+        crops1, crops2, itargets = self._uploads.get(
+            ds.crops1, ds.crops2, ds.itargets)
         losses, accs = [], []
         for b in range(0, n, bs):
             sel = order[b:b + bs]
             state, aux = self._step(
-                state, crops1[sel], crops2[sel],
-                jnp.asarray(ds.itargets[sel]))
+                state, crops1[sel], crops2[sel], itargets[sel])
             losses.append(aux["loss"])
             accs.append(aux["acc"])
         # ONE device->host fetch per epoch: per-step scalar fetches cost a
@@ -368,6 +373,7 @@ class Trainer:
 
         self._step_fn = step          # unjitted (for sharded re-jit)
         self._step = jax.jit(step)
+        self._uploads = DeviceCache()  # see MultiscaleTrainer / device_cache.py
 
     def init(self, rng) -> TrainState:
         params = self.model.init(rng)
@@ -382,18 +388,21 @@ class Trainer:
             shuffle_rng.shuffle(order)
         g = self.model.geometry
         D = codecs.n_indices(g)
+        # one upload per dataset (cached across epochs), on-device gathers
+        # per batch — uploading data[sel] every step leaks host RSS on
+        # tunneled TPUs (utils/device_cache.py)
+        patches1, patches2, itargets, targets_yx = self._uploads.get(
+            ds.patches1, ds.patches2, ds.itargets, ds.targets_yx)
         losses, accs = [], []
         for b in range(0, n, bs):
             sel = order[b:b + bs]
             if self.learning.soft_targets:
                 _, soft_t = flow_model.prepare_target(
-                    g, self.learning, jnp.asarray(ds.targets_yx[sel]))
+                    g, self.learning, targets_yx[sel])
             else:
                 soft_t = jnp.zeros((bs, D), jnp.float32)
             state, aux = self._step(
-                state,
-                jnp.asarray(ds.patches1[sel]), jnp.asarray(ds.patches2[sel]),
-                jnp.asarray(ds.itargets[sel]), soft_t,
+                state, patches1[sel], patches2[sel], itargets[sel], soft_t,
             )
             losses.append(aux["loss"])
             accs.append(aux["acc"])

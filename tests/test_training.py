@@ -223,3 +223,32 @@ def test_score_epoch_full_eval_scores_the_gt_pairing():
     # score as if it solved the GT pair
     s_bad = score_epoch(model, params, g, Learning(), ds, [(im2, im2)], [f])
     assert s_bad["full_acc"] < 0.5, s_bad
+
+
+def test_device_cache_uploads_once_per_dataset():
+    """Epoch loops must not re-upload an unchanged dataset: on tunneled
+    TPUs every host->device upload permanently leaks its payload size in
+    host RSS (utils/device_cache.py). Identity-keyed one-slot cache:
+    same host objects -> same device buffers; new objects -> re-upload."""
+    from depth_estimation_tpu.utils.device_cache import DeviceCache
+
+    cache = DeviceCache()
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    b = np.arange(3, dtype=np.int32)
+    da1, db1 = cache.get(a, b)
+    da2, db2 = cache.get(a, b)
+    assert da1 is da2 and db1 is db2          # cache hit: no new upload
+    np.testing.assert_array_equal(np.asarray(da1), a)
+
+    a_new = a + 1.0                           # renewed dataset: must re-upload
+    da3, db3 = cache.get(a_new, b)
+    assert da3 is not da1
+    np.testing.assert_array_equal(np.asarray(da3), a_new)
+
+    # None entries pass through and participate in the key
+    dn, = cache.get(None)
+    assert dn is None
+
+    # arity change is a miss, not an error
+    (da4,) = cache.get(a)
+    np.testing.assert_array_equal(np.asarray(da4), a)

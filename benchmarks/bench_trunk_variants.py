@@ -11,13 +11,26 @@ chip at the two production trunk shapes:
   * headline / single-scale 16x16 kernel, 3 -> 10, 320x180 frames
   * the 5x5 trainer default (opticalflow.lua -netSize), 3 -> 10
 
-Findings (TPU v5e, 2026-08-20, B=128, f32, ms per batch):
-  16x16: direct 5.29 / s=2 2.10 / s=4 1.25 / s=8 1.79  -> s=4 is 4.2x
-  5x5:   direct 0.69 / s=2 0.52 / s=4 0.69             -> s=2 is 1.3x
-  bf16 inputs add ~nothing on top (the matmul is MXU-bound either way
-  at these N widths; bf16 halves loads, not the padded MACs).
-pick_s2d_factor encodes the resulting policy (reach N >= 128 lanes,
-never exceed the kernel size).
+Findings (TPU v5e, 2026-08-20) — three lessons, in increasing
+importance:
+
+1. A general s x s fold measured only ~1.3x standalone: its two real
+   transposes plus the per-call kernel gather each cost more than the
+   conv itself (channels-minormost layout copies pad 3 -> 128 lanes,
+   up to 42x amplification; the 2-D fold was dropped for the width-only
+   form whose reshapes are layout-preserving no-ops).
+2. STANDALONE op timings on this tunnel are dispatch-floored (~4-6 ms
+   per call when device work is smaller) and MISLEAD: this harness
+   showed 1.3-1.5x for the width fold while an in-jit chained probe
+   showed parity at 16x16 and a 2.5x SLOWDOWN at 5x5.
+3. The only timing that decides policy is the production program:
+   bench.py same-day A/B measured 3532 fps direct / 4213.6 fps s=8 /
+   4192.6 fps s=16 (+19% end-to-end; two 16x16 trunks are ~a quarter
+   of the headline step). In-jit per-conv: 16x16 direct 3.77 ms vs
+   fold ~3.7 ms (the win appears under the real pipeline's layouts,
+   not the synthetic chain); 5x5 direct 1.08 ms vs fold 2.7 ms —
+   hence pick_s2d_factor folds only large-contraction trunks
+   (kh*kw*cin >= 256) and stays direct for small kernels.
 """
 
 import os
@@ -52,21 +65,21 @@ def bench(fn, n=10):
 
 def main():
     for kh, kw, H, W in ((16, 16, 180, 320), (5, 5, 180, 320)):
-        x = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
-        w = jnp.asarray(rng.randn(kh, kw, 3, 10), jnp.float32)
-        rows = [("direct", jax.jit(lambda a, k: s2d_conv(a, k, 1)))]
-        for s in (2, 4, 8):
-            if s <= min(kh, kw):
-                rows.append((f"s2d s={s}",
+        for dt_name, dt_ in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            x = jnp.asarray(rng.rand(B, H, W, 3), dt_)
+            w = jnp.asarray(rng.randn(kh, kw, 3, 10), dt_)
+            rows = [("direct", jax.jit(lambda a, k: s2d_conv(a, k, 1)))]
+            for s in (2, 4, 8, 16):
+                rows.append((f"wfold s={s}",
                              jax.jit(lambda a, k, s=s: s2d_conv(a, k, s))))
-        print(f"--- trunk {kh}x{kw} 3->10 @ {H}x{W} B={B} f32 ---",
-              flush=True)
-        base = None
-        for name, fn in rows:
-            dt = bench(lambda fn=fn: fn(x, w))
-            base = base or dt
-            print(f"{name}: {dt*1e3:.2f} ms/batch "
-                  f"({dt/B*1e6:.1f} us/frame, {base/dt:.2f}x)", flush=True)
+            print(f"--- trunk {kh}x{kw} 3->10 @ {H}x{W} B={B} {dt_name} ---",
+                  flush=True)
+            base = None
+            for name, fn in rows:
+                t = bench(lambda fn=fn: fn(x, w))
+                base = base or t
+                print(f"{name}: {t*1e3:.2f} ms/batch "
+                      f"({t/B*1e6:.1f} us/frame, {base/t:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

@@ -15,12 +15,40 @@ the reference's named-weights checkpoint payload
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import Geometry
+from ..ops.s2d_conv import pick_s2d_factor, s2d_conv
+
+
+class TrunkConv(nn.Module):
+    """nn.Conv-compatible VALID conv that dispatches to the width-folded
+    (space-to-depth) form when the output-channel count underfills the
+    MXU lanes — the direct conv measured ~10% of the chip ceiling at the
+    trunk's 3->10 shapes (ops/s2d_conv.py has the full story and
+    benchmarks/bench_trunk_variants.py the measurements). Param names,
+    shapes, and initializers match nn.Conv exactly, so checkpoints are
+    interchangeable and existing models load unchanged."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        s = pick_s2d_factor(kh, kw, cin, self.features)
+        y = s2d_conv(x, kernel.astype(x.dtype), s)
+        return y + bias.astype(y.dtype)
 
 
 def random_connection_table(nin: int, nout: int, nto: int,
@@ -96,12 +124,10 @@ class ConvFilter(nn.Module):
                     nin=prev_cout, nout=cout, nto=cin, kh=kh, kw=kw,
                     name=f"layer{i + 1}")(x)
             else:
-                x = nn.Conv(
+                x = TrunkConv(
                     features=cout,
                     kernel_size=(kh, kw),
-                    padding="VALID",
                     name=f"layer{i + 1}",
-                    dtype=x.dtype,
                 )(x)
             if i != len(layers) - 1:
                 x = nn.tanh(x)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import matching
+from .filters import TrunkConv
 
 RadialLayer = Union[str, Tuple[int, int, int, int]]
 
@@ -43,8 +44,9 @@ class RadialFilter(nn.Module):
             else:
                 cin, kh, kw, cout = layer
                 i += 1
-                x = nn.Conv(cout, (kh, kw), padding="VALID",
-                            name=f"layer{i}", dtype=x.dtype)(x)
+                # MXU width-folded conv (ops/s2d_conv.py) — nn.Conv-
+                # compatible params, ~3x at the 3->10 trunk shapes
+                x = TrunkConv(cout, (kh, kw), name=f"layer{i}")(x)
         return x
 
 

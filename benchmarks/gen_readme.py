@@ -113,8 +113,10 @@ def perf_table(results: dict, headline) -> str:
          "32.4 s batched vs 42.9 s per-pair; rectification alone 2.6x "
          "faster (one fused vmapped program vs ~7 dispatches/pair)"),
         ("—", "training step (`benchmarks/bench_training.py`)",
-         "single-scale NLL ~105k samples/s (B=256); multiscale fovea ~15k "
-         "samples/s (B=32, static-crop batch path) — the reference trains "
+         "single-scale NLL ~132k samples/s (B=256); multiscale fovea ~20k "
+         "samples/s (B=32, static-crop batch path) — both ~1.6-2.3x their "
+         "round-3 values from the width-folded trunk (same-run A/B: 81k / "
+         "8.7k with DE_TPU_S2D=off); the reference trains "
          "batch-1 on a 2012 CPU. End-to-end fovea training runs ~3 s/epoch "
          "(3000 samples with per-epoch renewal) after the round-3 "
          "tunnel-latency fixes (host-side resize/encode/sampling, one "

@@ -65,11 +65,20 @@ def fetch(x):
 def timed(fn, n=10):
     out = fn()
     fetch(out)
+    # subtract the tunnel fetch RTT (bench.py methodology): at n=10 each
+    # per-call time otherwise carries ~2.9 ms of fetch overhead, which
+    # compressed the recorded conv-vs-shift-sum ratio (5.7x raw ~= 7.3x
+    # RTT-corrected on the same run)
+    nop = jax.jit(lambda x: x + 1.0)
+    float(nop(jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    float(nop(jnp.float32(2.0)))
+    rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
     fetch(out)
-    return (time.perf_counter() - t0) / n
+    return max(time.perf_counter() - t0 - rtt, 1e-9) / n
 
 
 def corr_conv_nchw(wnd, tx, ty):
@@ -137,11 +146,18 @@ def main():
             print(f"{name:12s} FAILED: {type(e).__name__}: {e}")
             continue
         if ref is None:
-            ref = np.asarray(out[0])
+            ref = tuple(np.asarray(o) for o in out)   # both corr surfaces
         else:
-            err = float(np.max(np.abs(np.asarray(out[0]) - ref)))
-            rel = err / float(np.max(np.abs(ref)))
-            assert rel < 1e-4, f"{name} mismatch: rel {rel}"
+            rel = max(
+                float(np.max(np.abs(np.asarray(o) - r)))
+                / float(np.max(np.abs(r)))
+                for o, r in zip(out, ref))
+            if rel >= 1e-4:
+                # record and keep going — the shootout's contract is to
+                # report every variant, not abort on the first bad one
+                print(f"{name:12s} MISMATCH: max rel err {rel:.2e} vs "
+                      f"{list(variants)[0]}")
+                continue
         gflop = 2 * B * N * P * P * KW * KW * 2 / 1e9
         print(f"{name:12s} {dt*1e3:8.2f} ms  {dt*1e3/B:6.3f} ms/pair  "
               f"{gflop/dt/1e3:6.2f} TFLOP/s  (compile {compile_s:.0f}s)",

@@ -89,6 +89,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-cal", "--calibration", default="ardrone",
                    help="calibration preset name")
     p.add_argument("-bs", "--batch-size", type=int, default=32)
+    p.add_argument("--dp", default="auto", metavar="auto|off|N",
+                   help="data-parallel device mesh: 'auto' engages every "
+                        "attached device when there is more than one "
+                        "(training batches sharded with replicated params "
+                        "— XLA inserts the gradient all-reduce — and the "
+                        "rectification/GT dataset build split across the "
+                        "mesh); 'off' stays single-device; N uses the "
+                        "first N devices. Batch size must divide by the "
+                        "mesh size.")
     # output
     p.add_argument("-omd", "--output-model-dir", default="models")
     return p
@@ -186,6 +195,14 @@ def main(argv=None) -> int:
     cal = calmod.PRESETS[args.calibration]
     print(model_io.model_dir_name(geom, lrn))
 
+    # --dp: the user surface for §2.5 parallelism (auto-engages on
+    # multi-device hosts) — dataset build AND training shard over the mesh
+    from ..parallel import mesh as pm
+    mesh = pm.auto_mesh(args.dp)
+    if mesh is not None:
+        print(f"dp mesh: {mesh.devices.size} devices "
+              f"({mesh.devices.flat[0].platform})")
+
     # data: consecutive frames + GT (cached under the dataset root)
     raw = ds_mod.load_data_optical_flow(
         geom, cal, args.root_directory, args.num_input_images,
@@ -193,7 +210,7 @@ def main(argv=None) -> int:
         cache_root=args.root_directory,
         motion_correction=(None if args.motion_correction == "none"
                            else args.motion_correction),
-        groundtruth=args.groundtruth)
+        groundtruth=args.groundtruth, mesh=mesh)
     images = raw["warped_images"]
     currents = raw["images"]
     flows = raw["flow"]
@@ -223,6 +240,8 @@ def main(argv=None) -> int:
     else:
         model = flow_model.FlowModel(geom)
         trainer = training.Trainer(model, lrn)
+    if mesh is not None:
+        trainer.use_mesh(mesh)
     state = trainer.init(jax.random.PRNGKey(0))
     if args.load_weights:
         state = state._replace(params=model_io.load_weights_into(

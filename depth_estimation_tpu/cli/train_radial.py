@@ -44,6 +44,10 @@ def build_parser():
                         "training regime for noisy corpora: GT computed "
                         "on the clean recording, features learned on the "
                         "noisy one.")
+    p.add_argument("--dp", default="auto", metavar="auto|off|N",
+                   help="data-parallel device mesh: shards the polar "
+                        "dataset/GT build and the training batches across "
+                        "the attached devices ('auto' = all when >1)")
     p.add_argument("-sl", "--scene-length", type=int, default=0,
                    help="frames per scene when the dataset dir holds "
                         "several back-to-back recordings: pairs crossing "
@@ -117,6 +121,16 @@ def main(argv=None) -> int:
                   f"({len(gt_frames)} frames vs {len(frames)})",
                   file=sys.stderr)
             return 1
+    # --dp: shard the dataset/GT build and training over a device mesh
+    from ..parallel import mesh as pm
+    mesh = pm.auto_mesh(args.dp)
+    if mesh is not None:
+        print(f"dp mesh: {mesh.devices.size} devices "
+              f"({mesh.devices.flat[0].platform})")
+        if args.batch_size % mesh.devices.size:
+            print(f"batch size {args.batch_size} not divisible by the "
+                  f"{mesh.devices.size}-device mesh", file=sys.stderr)
+            return 1
     # batched loader: the whole ego-motion/polar-warp/GT stack for every
     # pair runs in a handful of device programs (load_polar_pairs_batched)
     sl = args.scene_length
@@ -125,7 +139,8 @@ def main(argv=None) -> int:
         cal.hImg, cal.wImg,
         args.h_input, args.w_input, net.w_kernel,
         geom_gt=geom_gt, max_flow=max_flow,
-        pixel_frames=frames if gt_frames is not None else None))
+        pixel_frames=frames if gt_frames is not None else None,
+        mesh=mesh))
         if p.good and (not sl or k // sl == (k + 1) // sl)]
     if not pairs:
         print("no usable pairs", file=sys.stderr)
@@ -150,8 +165,7 @@ def main(argv=None) -> int:
     tx = sgd_torch(args.learning_rate, args.learning_rate_decay)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, b1, b2, bt):
+    def step_fn(params, opt_state, b1, b2, bt):
         def loss_fn(prm):
             logp = jax.vmap(lambda a, b: net.log_scores(prm, a, b))(b1, b2)
             logp = logp.reshape(logp.shape[0], -1)
@@ -162,6 +176,18 @@ def main(argv=None) -> int:
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc
+
+    if mesh is not None:
+        # batch split on dp, params/opt replicated — XLA derives the
+        # gradient all-reduce (same pattern as parallel.sharded_train_step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("dp"))
+        step = jax.jit(step_fn,
+                       in_shardings=(rep, rep, bsh, bsh, bsh),
+                       out_shardings=(rep, rep, rep, rep))
+    else:
+        step = jax.jit(step_fn)
 
     os.makedirs(args.output_model_dir, exist_ok=True)
     bs = args.batch_size

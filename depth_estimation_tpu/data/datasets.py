@@ -248,18 +248,35 @@ def load_rectified_pairs_batched(
     geom: Geometry, cal: Calibration, frames: List[np.ndarray],
     cache_root: Optional[str] = None, names: Optional[List[str]] = None,
     compute_gt: bool = True, delta: int = 1,
-    groundtruth: str = "cross-correlation",
+    groundtruth: str = "cross-correlation", mesh=None,
 ) -> List[RectifiedPair]:
     """Batched loadRectifiedImageOpticalFlow2 over consecutive frames:
     the whole rectification stack runs as one jitted program for all pairs
     (one dispatch + one scalar fetch instead of ~7 round-trips per pair).
-    GT flow still goes through the per-pair disk cache."""
+    GT flow still goes through the per-pair disk cache.
+
+    With ``mesh`` (a dp Mesh — the CLI --dp flag) the pair stack is split
+    across the mesh devices for BOTH the rectification program
+    (parallel.mesh.sharded_rectify_fn) and the GT build (sharded
+    exhaustive matcher, or the dp-sharded explicit-batch celiu solver for
+    'liu'). Each device runs the per-pair program at its LOCAL batch
+    shape; vs the full-batch unsharded program XLA's fusion order differs
+    at the ulp level (tests/test_cli_dp.py pins the tolerance)."""
     pairs_prev = np.stack(frames[:-delta]).astype(np.float32)
     pairs_img = np.stack(frames[delta:]).astype(np.float32)
-    prev_s, img_s, warped, mask, n_inl, n_fnd = _rectify_batch_device(
-        jnp.asarray(pairs_prev), jnp.asarray(pairs_img), cal.K,
-        tuple(cal.distortion), geom.hImg, geom.wImg,
-        cal.sfm.max_points, cal.sfm.points_quality)
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel import mesh as pm
+        rect_fn = pm.sharded_rectify_fn(mesh, cal, geom.hImg, geom.wImg)
+        pp, n_real = pm.pad_to_multiple(pairs_prev, mesh.devices.size)
+        pi, _ = pm.pad_to_multiple(pairs_img, mesh.devices.size)
+        outs = rect_fn(jnp.asarray(pp), jnp.asarray(pi))
+        prev_s, img_s, warped, mask, n_inl, n_fnd = (
+            np.asarray(o)[:n_real] for o in outs)
+    else:
+        prev_s, img_s, warped, mask, n_inl, n_fnd = _rectify_batch_device(
+            jnp.asarray(pairs_prev), jnp.asarray(pairs_img), cal.K,
+            tuple(cal.distortion), geom.hImg, geom.wImg,
+            cal.sfm.max_points, cal.sfm.points_quality)
     n_inl = np.asarray(n_inl)
     n_fnd = np.asarray(n_fnd)
     prev_s = np.asarray(prev_s)
@@ -274,7 +291,42 @@ def load_rectified_pairs_batched(
     # GT: serve cache hits from disk, compute all misses in chunked batched
     # dispatches (one fetch per chunk instead of 3 per pair)
     gts: Dict[int, Tuple] = {}
-    if compute_gt and groundtruth == "liu":
+    if compute_gt and groundtruth == "liu" and mesh is not None \
+            and mesh.devices.size > 1:
+        # dp-sharded liu GT: cache hits from disk, all misses through the
+        # explicit-batch solver split across the mesh (sharded_celiu_fn —
+        # explicit batch, so the B>=4 vmap crash does not apply)
+        from ..parallel import mesh as pm
+        misses = []
+        for k in range(B):
+            if not good[k]:
+                continue
+            name = names[k] if names else ""
+            if cache_root is not None and name:
+                path = gt_mod.liu_cache_path(cache_root, geom, 1, name)
+                if os.path.exists(path):
+                    z = np.load(path)
+                    if z["fy"].shape == (geom.hImg, geom.wImg):
+                        gts[k] = (z["fy"], z["fx"], None)
+                        continue
+            misses.append(k)
+        if misses:
+            celiu_fn = pm.sharded_celiu_fn(
+                mesh, alpha=0.005, ratio=0.75, min_width=30,
+                n_outer=5, n_inner=1, n_sor=40)
+            im1, n_real = pm.pad_to_multiple(
+                np.asarray(warped)[misses], mesh.devices.size)
+            im2, _ = pm.pad_to_multiple(
+                np.asarray(img_s)[misses], mesh.devices.size)
+            vx, vy, _w = celiu_fn(jnp.asarray(im1), jnp.asarray(im2))
+            vx, vy = np.asarray(vx)[:n_real], np.asarray(vy)[:n_real]
+            for j, k in enumerate(misses):
+                gts[k] = (vy[j], vx[j], None)
+                name = names[k] if names else ""
+                if cache_root is not None and name:
+                    gt_mod.store_cached_liu_flow(cache_root, geom, 1, name,
+                                                 vy[j], vx[j])
+    elif compute_gt and groundtruth == "liu":
         # the variational solver crashes the TPU worker when vmapped past
         # B=2 (see flow/celiu.py notes); per-pair with the disk cache
         for k in range(B):
@@ -298,7 +350,8 @@ def load_rectified_pairs_batched(
             misses.append(k)
         if misses:
             fy, fx, conf = gt_mod.exhaustive_flow_batched(
-                geom, warped[misses], img_s[misses], method=method)
+                geom, warped[misses], img_s[misses], method=method,
+                mesh=mesh)
             for j, k in enumerate(misses):
                 gts[k] = (fy[j], fx[j], conf[j])
                 name = names[k] if names else ""
@@ -327,13 +380,15 @@ def load_data_optical_flow(
     geom: Geometry, cal: Calibration, directory: str, n_images: int,
     first: int = 0, delta: int = 1, cache_root: Optional[str] = None,
     motion_correction: Optional[str] = "sfm",
-    groundtruth: str = "cross-correlation",
+    groundtruth: str = "cross-correlation", mesh=None,
 ) -> Dict[str, list]:
     """Dataset assembly (loadDataOpticalFlowCCLiu,
     /root/reference/groundtruth_opticalflow.lua:350-413): consecutive frames
     from ``directory/images/``, rectified by the selected backend
     (``motion_correction``: 'sfm' | 'mc' | None — the trainer's -mc flag,
-    :370-413), with GT flow per pair."""
+    :370-413), with GT flow per pair. ``mesh`` (dp Mesh) shards the
+    batched 'sfm' rectification + GT build across devices (the CLI --dp
+    flag; the per-pair 'mc'/None backends ignore it)."""
     raw = {"images": [], "warped_images": [], "masks": [], "flow": []}
     loader = ImageLoader(directory, cal.hImg, cal.wImg, first)
     if motion_correction == "sfm":
@@ -352,7 +407,8 @@ def load_data_optical_flow(
         names = [f"{first + k * delta:09d}" for k in range(len(frames) - 1)]
         pairs = load_rectified_pairs_batched(geom, cal, frames,
                                              cache_root, names,
-                                             groundtruth=groundtruth)
+                                             groundtruth=groundtruth,
+                                             mesh=mesh)
         for pair in pairs:
             raw["images"].append(pair.image)
             raw["warped_images"].append(pair.prev_warped)
@@ -707,6 +763,7 @@ def load_polar_pairs_batched(
     h_img: int, w_img: int, h_input: int, w_input: int, w_kernel: int,
     geom_gt: Optional[Geometry] = None, max_flow: Optional[float] = None,
     delta: int = 1, pixel_frames: Optional[List[np.ndarray]] = None,
+    mesh=None,
 ) -> List[PolarPair]:
     """Batched radial load_dataset: the whole ego-motion/polar-warp stack
     for all consecutive pairs runs as one device program; GT (if requested)
@@ -729,12 +786,34 @@ def load_polar_pairs_batched(
             np.stack(pixel_frames[:-delta]).astype(np.float32))
         pix_imgs = jnp.asarray(
             np.stack(pixel_frames[delta:]).astype(np.float32))
-    (p_img, p_prev, p_mask, e2s, n_inl, n_fnd,
-     prev_w, img_s, masks) = _polar_batch_device(
-        prevs, imgs, cal.K, cal.wImg, cal.hImg, h_img, w_img,
-        h_input, w_input, w_kernel,
-        cal.sfm.max_points, cal.sfm.points_quality,
-        pixel_prevs=pix_prevs, pixel_imgs=pix_imgs)
+    if mesh is not None and mesh.devices.size > 1:
+        # dp-sharded build (the CLI --dp flag): pair stack split across
+        # the mesh; per-pair equal to the unsharded program up to XLA's
+        # local-batch-shape fusion reordering (ulp level)
+        from ..parallel import mesh as pm
+        nd = mesh.devices.size
+        polar_fn = pm.sharded_polar_load_fn(
+            mesh, cal, h_img, w_img, h_input, w_input, w_kernel,
+            clean_pixels=pix_prevs is not None)
+        pp, n_real = pm.pad_to_multiple(np.asarray(prevs), nd)
+        pi, _ = pm.pad_to_multiple(np.asarray(imgs), nd)
+        if pix_prevs is not None:
+            xp, _ = pm.pad_to_multiple(np.asarray(pix_prevs), nd)
+            xi, _ = pm.pad_to_multiple(np.asarray(pix_imgs), nd)
+            outs = polar_fn(jnp.asarray(pp), jnp.asarray(pi),
+                            jnp.asarray(xp), jnp.asarray(xi))
+        else:
+            outs = polar_fn(jnp.asarray(pp), jnp.asarray(pi))
+        (p_img, p_prev, p_mask, e2s, n_inl, n_fnd,
+         prev_w, img_s, masks) = (jnp.asarray(np.asarray(o)[:n_real])
+                                  for o in outs)
+    else:
+        (p_img, p_prev, p_mask, e2s, n_inl, n_fnd,
+         prev_w, img_s, masks) = _polar_batch_device(
+            prevs, imgs, cal.K, cal.wImg, cal.hImg, h_img, w_img,
+            h_input, w_input, w_kernel,
+            cal.sfm.max_points, cal.sfm.points_quality,
+            pixel_prevs=pix_prevs, pixel_imgs=pix_imgs)
     n_inl = np.asarray(n_inl)
     n_fnd = np.asarray(n_fnd)
     e2s_np = np.asarray(e2s)
@@ -745,7 +824,8 @@ def load_polar_pairs_batched(
     gt_polar = gt_mask_polar = None
     if geom_gt is not None:
         fy, fx, conf = gt_mod.exhaustive_flow_batched(
-            geom_gt, np.asarray(prev_w), np.asarray(img_s), chunk=2)
+            geom_gt, np.asarray(prev_w), np.asarray(img_s), chunk=2,
+            mesh=mesh)
         gt_polar, gt_mask_polar = _polar_gt_batch_device(
             jnp.asarray(fy), jnp.asarray(fx), jnp.asarray(conf),
             masks, e2s, h_img, w_img, h_input, w_input, w_kernel,

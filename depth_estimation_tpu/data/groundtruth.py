@@ -133,15 +133,26 @@ def _exhaustive_batch_jit(geom: Geometry, imgs1: jnp.ndarray,
 
 def exhaustive_flow_batched(
     geom: Geometry, imgs1: np.ndarray, imgs2: np.ndarray, chunk: int = 8,
-    method: str = "max",
+    method: str = "max", mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched getOpticalFlowFast over a (B, H, W, C) stack of pairs:
     ceil(B/chunk) dispatches + one fetch each, vs a dispatch + 3 fetches
     per pair — the tunnel-RTT batching of the GT stage. ``chunk`` bounds
     the transient per-pair cost volume (~59 MB at 320x180, 16x16 window);
     the tail chunk is padded to the chunk size so only one program
-    compiles."""
+    compiles.
+
+    With ``mesh`` (a dp Mesh) each chunk is additionally split across the
+    mesh devices (parallel.mesh.sharded_exhaustive_gt_fn): chunk stays the
+    PER-DEVICE cost-volume bound, so a dispatch covers chunk * n_devices
+    pairs. Per-pair results are bitwise-equal to the unsharded path (each
+    device runs the same per-chunk program)."""
     B = imgs1.shape[0]
+    sharded_fn = None
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.mesh import sharded_exhaustive_gt_fn
+        sharded_fn = sharded_exhaustive_gt_fn(geom, mesh, method)
+        chunk = chunk * mesh.devices.size
     fys, fxs, confs = [], [], []
     for s in range(0, B, chunk):
         a = np.asarray(imgs1[s:s + chunk], np.float32)
@@ -151,8 +162,11 @@ def exhaustive_flow_batched(
             reps = [(0, chunk - n)] + [(0, 0)] * (a.ndim - 1)
             a = np.pad(a, reps, mode="edge")
             b = np.pad(b, reps, mode="edge")
-        fy, fx, conf = _exhaustive_batch_jit(geom, jnp.asarray(a),
-                                             jnp.asarray(b), method)
+        if sharded_fn is not None:
+            fy, fx, conf = sharded_fn(jnp.asarray(a), jnp.asarray(b))
+        else:
+            fy, fx, conf = _exhaustive_batch_jit(geom, jnp.asarray(a),
+                                                 jnp.asarray(b), method)
         fys.append(np.asarray(fy)[:n])
         fxs.append(np.asarray(fx)[:n])
         confs.append(np.asarray(conf)[:n])
@@ -188,14 +202,25 @@ def liu_flow(
     return np.asarray(vy), np.asarray(vx)
 
 
+def liu_cache_path(root: str, geom: Geometry, delta: int, name: str) -> str:
+    return os.path.join(
+        root, "flow_liu", f"{geom.wImg}x{geom.hImg}", str(delta), name + ".npz"
+    )
+
+
+def store_cached_liu_flow(root: str, geom: Geometry, delta: int, name: str,
+                          fy, fx) -> None:
+    path = liu_cache_path(root, geom, delta, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, fy=fy, fx=fx)
+
+
 def cached_liu_flow(root: str, geom: Geometry, delta: int, name: str,
                     img1, img2, **kw) -> Tuple[np.ndarray, np.ndarray]:
     """Disk-cached liu GT (the reference caches PNG-encoded (v+128)/255,
     groundtruth_opticalflow_celiu.lua:63-67; we cache float npz under
     ``flow_liu/...`` with the same parameter-encoded layout)."""
-    path = os.path.join(
-        root, "flow_liu", f"{geom.wImg}x{geom.hImg}", str(delta), name + ".npz"
-    )
+    path = liu_cache_path(root, geom, delta, name)
     if os.path.exists(path):
         z = np.load(path)
         if z["fy"].shape == (geom.hImg, geom.wImg):

@@ -27,6 +27,26 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def auto_mesh(dp: str = "auto", axis: str = "dp") -> Optional[Mesh]:
+    """Resolve a CLI ``--dp`` value to a mesh (or None = stay single-device).
+
+    'auto'  -> all visible devices when there is more than one,
+    'off'/'0'/'1' -> None,
+    'N'     -> the first N devices (errors if fewer are attached).
+    This is THE user surface for §2.5 parallelism: every CLI that can
+    shard (trainers, rectify, GT/dataset builds) funnels through it.
+    """
+    if dp in ("off", "0", "1", "none"):
+        return None
+    devices = jax.devices()
+    if dp == "auto":
+        return make_mesh(devices, axis) if len(devices) > 1 else None
+    n = int(dp)
+    if n > len(devices):
+        raise SystemExit(f"--dp {n}: only {len(devices)} devices attached")
+    return make_mesh(devices[:n], axis)
+
+
 def shard_batch(x, mesh: Mesh, axis: str = "dp"):
     """Place a batched pytree with the leading axis split across the mesh."""
     sh = NamedSharding(mesh, P(axis))
@@ -47,15 +67,19 @@ def pad_to_multiple(x: np.ndarray, m: int):
     return x, n
 
 
-def sharded_train_step(trainer, mesh: Mesh, axis: str = "dp"):
+def sharded_train_step(trainer, mesh: Mesh, axis: str = "dp",
+                       n_batch: int = 4):
     """Wrap a Trainer's jitted step with explicit shardings: batch split on
-    ``dp``, params/opt state replicated. XLA derives the gradient psum."""
+    ``dp``, params/opt state replicated. XLA derives the gradient psum.
+    ``n_batch`` = how many batch-leading args follow the state (4 for the
+    single-scale Trainer's (p1, p2, itarget, soft_t), 3 for the
+    MultiscaleTrainer's (crops1, crops2, itarget))."""
     batch_sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
     step = jax.jit(
         trainer._step_fn,
-        in_shardings=(rep, batch_sh, batch_sh, batch_sh, batch_sh),
+        in_shardings=(rep,) + (batch_sh,) * n_batch,
         out_shardings=(rep, rep),
     )
     return step
@@ -285,7 +309,7 @@ def spatial_sharded_radial_fn(net, mesh: Mesh, axis: str = "sp"):
 # dp-sharded GT generation / dataset builds (the offline workload)
 # ---------------------------------------------------------------------------
 
-def _dp_shard_map(body, mesh: Mesh, axis: str, n_out: int):
+def _dp_shard_map(body, mesh: Mesh, axis: str, n_out: int, n_in: int = 2):
     """shard_map a per-pair-independent batched ``body`` over ``axis``.
 
     These offline builds are embarrassingly parallel over pairs, so
@@ -296,10 +320,14 @@ def _dp_shard_map(body, mesh: Mesh, axis: str, n_out: int):
     (tests/test_parallel.py pins this). GSPMD partitioning of the global
     program would instead reorder dot products by a few ulp, and the
     ego-motion RANSAC inlier gate turns ulp drift into wholesale
-    divergence on knife-edge pairs."""
+    divergence on knife-edge pairs. Caveat (measured, tests/test_cli_dp.py):
+    XLA may still fuse the shard_map body differently from a standalone
+    jit at the same shape, so vs a FULL-BATCH unsharded build a knife-edge
+    RANSAC pair can land on a different (still valid) fit; the sharded
+    build itself is deterministic."""
     mapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=tuple(P(axis) for _ in range(n_in)),
         out_specs=tuple(P(axis) for _ in range(n_out)) if n_out > 1
         else P(axis),
         check_vma=False,
@@ -346,14 +374,26 @@ def sharded_rectify_fn(mesh: Mesh, cal, h: int, w: int, axis: str = "dp"):
 
 def sharded_polar_load_fn(mesh: Mesh, cal, h_img: int, w_img: int,
                           h_input: int, w_input: int, w_kernel: int,
-                          axis: str = "dp"):
+                          axis: str = "dp", clean_pixels: bool = False):
     """dp-sharded radial/polar dataset build: the fused
     ego-motion -> epipole -> rotation removal -> polar warps program
     (data/datasets.py _polar_batch_device) with the pair stack split across
     the mesh. Returns fn(prevs, imgs) -> the program's 9-tuple, dp-sharded
     and per-pair bitwise-equal to a single-device run at the local batch
-    shape (see _dp_shard_map)."""
+    shape (see _dp_shard_map). With ``clean_pixels`` the returned fn takes
+    (prevs, imgs, pixel_prevs, pixel_imgs) — the clean-targets regime
+    where GT/geometry frames and patch-pixel frames are different
+    recordings (train_radial's -gtd flag)."""
     from ..data import datasets as ds
+
+    if clean_pixels:
+        def body(prevs, imgs, pix_prevs, pix_imgs):
+            return ds._polar_batch_device(
+                prevs, imgs, cal.K, cal.wImg, cal.hImg, h_img, w_img,
+                h_input, w_input, w_kernel,
+                cal.sfm.max_points, cal.sfm.points_quality,
+                pixel_prevs=pix_prevs, pixel_imgs=pix_imgs)
+        return _dp_shard_map(body, mesh, axis, n_out=9, n_in=4)
 
     def body(prevs, imgs):
         return ds._polar_batch_device(
@@ -362,3 +402,18 @@ def sharded_polar_load_fn(mesh: Mesh, cal, h_img: int, w_img: int,
             cal.sfm.max_points, cal.sfm.points_quality)
 
     return _dp_shard_map(body, mesh, axis, n_out=9)
+
+
+def sharded_exhaustive_gt_fn(geom, mesh: Mesh, method: str = "max",
+                             axis: str = "dp"):
+    """dp-sharded cross-correlation GT (the trainer's default GT,
+    /root/reference/groundtruth_opticalflow.lua:29-86 run per pair there):
+    the box-filter patch-SSD program (data/groundtruth._exhaustive_batch_jit)
+    with the pair stack split across the mesh. Per-pair independent — no
+    collectives. Returns fn(imgs1, imgs2) -> (fy, fx, conf), dp-sharded."""
+    from ..data import groundtruth as gt
+
+    def body(a, b):
+        return gt._exhaustive_batch_jit(geom, a, b, method)
+
+    return _dp_shard_map(body, mesh, axis, n_out=3)

@@ -305,11 +305,20 @@ class MultiscaleTrainer:
 
         self._step_fn = step
         self._step = jax.jit(step)
+        self._mesh_n = 1
         # dataset uploads are cached across epoch() calls: on a tunneled
         # TPU every upload permanently leaks its size in host RSS, and
         # re-uploading an unchanged dataset each epoch leaked
         # ~0.8 GB/epoch here (utils/device_cache.py has the measurements)
         self._uploads = DeviceCache()
+
+    def use_mesh(self, mesh, axis: str = "dp"):
+        """Engage a device mesh: re-jit the step with the fovea batch split
+        on ``dp`` and params/opt state replicated (parallel/mesh.py). The
+        CLI's --dp flag lands here."""
+        from ..parallel import mesh as pm
+        self._step = pm.sharded_train_step(self, mesh, axis, n_batch=3)
+        self._mesh_n = mesh.devices.size
 
     def init(self, rng):
         params = self.model.init(rng)
@@ -319,6 +328,10 @@ class MultiscaleTrainer:
     def epoch(self, state, ds: FoveaDataset, batch_size: Optional[int] = None,
               shuffle_rng=None):
         bs = batch_size or self.learning.batch_size
+        if bs % self._mesh_n:
+            raise SystemExit(
+                f"batch size {bs} is not divisible by the {self._mesh_n}-"
+                f"device dp mesh — pick -bs a multiple of {self._mesh_n}")
         n = (len(ds) // bs) * bs
         order = np.arange(n)
         if shuffle_rng is not None:
@@ -373,7 +386,16 @@ class Trainer:
 
         self._step_fn = step          # unjitted (for sharded re-jit)
         self._step = jax.jit(step)
+        self._mesh_n = 1
         self._uploads = DeviceCache()  # see MultiscaleTrainer / device_cache.py
+
+    def use_mesh(self, mesh, axis: str = "dp"):
+        """Engage a device mesh: re-jit the step with the patch batch split
+        on ``dp`` and params/opt state replicated (parallel/mesh.py) — XLA
+        inserts the gradient all-reduce. The CLI's --dp flag lands here."""
+        from ..parallel import mesh as pm
+        self._step = pm.sharded_train_step(self, mesh, axis, n_batch=4)
+        self._mesh_n = mesh.devices.size
 
     def init(self, rng) -> TrainState:
         params = self.model.init(rng)
@@ -382,6 +404,10 @@ class Trainer:
     def epoch(self, state: TrainState, ds: PatchDataset,
               batch_size: Optional[int] = None, shuffle_rng=None):
         bs = batch_size or self.learning.batch_size
+        if bs % self._mesh_n:
+            raise SystemExit(
+                f"batch size {bs} is not divisible by the {self._mesh_n}-"
+                f"device dp mesh — pick -bs a multiple of {self._mesh_n}")
         n = (len(ds) // bs) * bs
         order = np.arange(n)
         if shuffle_rng is not None:

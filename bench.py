@@ -1,27 +1,28 @@
-"""Headline benchmark: 640x480 frame-pair MATCHING throughput per chip.
+"""Headline benchmark: 640x480 frame-pairs/sec/chip for the COMPLETE
+per-frame online program, with the dense matching core as a secondary key.
 
 Target (BASELINE.md): >= 500 frame-pairs/sec/chip.
 
-What IS measured — the dense matching core of the reference's online
-pipeline (/root/reference/depth_estimation_api.lua:134-198): 640x480 input
-frames downscaled ON DEVICE to the canonical 320x180 working resolution
-(image.scale at :144 — the reference never matches at full resolution),
-then conv feature trunk (both frames) -> fused Pallas matcher
-(match + softmax + WTA + soft-argmax in one pass, no cost volume in HBM) ->
-x-flow -> depth conversion (depth ~ m * |j - cx| / |flow|, the
-ARdroneAPI::computeDepthMapFromFlow rule,
-/root/reference/ardrone/ardrone_api.cpp:127-136). Frames are processed in
-batches of 128 (video streaming regime).
+The primary value is the full pipeline — everything the reference's online
+loop runs per frame (/root/reference/depth_estimation_api.lua:134-198):
+undistort -> ego-motion (Shi-Tomasi corners + pyramidal LK + RANSAC
+essential) -> rotation compensation -> conv trunk -> fused Pallas match ->
+decode -> warp-mask erosion -> confidence gate -> bad-frame zeroing ->
+depth rule (computeDepthMapFromFlow,
+/root/reference/ardrone/ardrone_api.cpp:127-136), batched B=128 in the
+video-streaming regime (api_batched.BatchedDepthEstimator, fast mode —
+every stage computed; formulation/precision deltas accuracy-tested).
 
-What is NOT in this number: the reference's online loop also runs
-undistortion and ego-motion (corner detect + LK + RANSAC essential) and
-rotation-compensates the previous features each frame. The COMPLETE
-per-frame program, batched, is measured separately — `full_pipeline_fps`
-in benchmarks/results.json via benchmarks/bench_full_pipeline.py
-(api_batched.BatchedDepthEstimator).
+``matching_core`` is the historical headline (rounds 1-4): device resize
+to the 320x180 working resolution + conv trunk + fused match + depth rule,
+no ego-motion. Recorded alongside because it isolates the north-star op,
+but the primary value is the one a user's per-frame budget actually pays
+(round-4 verdict: the driver-recorded line alone overstated the per-frame
+program).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N,
+   "matching_core": N}
 vs_baseline is value / 500 (the north-star target; the reference publishes
 no numbers of its own — see BASELINE.md).
 
@@ -166,13 +167,44 @@ def _run():
         out = pipeline(params, f1, f2)
     float(out[1].sum())                      # hard sync
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / (n_iters * BATCH)
-    fps = 1.0 / dt
+    core_fps = 1.0 / dt
+
+    # ---- primary: the COMPLETE per-frame online program -------------------
+    # (api_batched fast mode, the recorded full_pipeline_fps configuration
+    # of benchmarks/bench_full_pipeline.py; textured frames so Shi-Tomasi
+    # tracks and the essential fit is non-degenerate)
+    from depth_estimation_tpu.api_batched import BatchedDepthEstimator
+    from depth_estimation_tpu.geometry3d.calibration import ARDRONE
+
+    est = BatchedDepthEstimator(
+        g, params, ARDRONE, head="mean", match_dtype=jnp.bfloat16,
+        warp_dtype=jnp.bfloat16, compensation="decode", lk_iters=5,
+        ransac_samples=48, state_dtype=jnp.bfloat16, ego_downsample=2,
+        corner_selector="topk", match_block=32)
+    base = rng.rand(BATCH, 120, 160, 3).astype(np.float32)
+    t1 = np.asarray(jax.image.resize(jnp.asarray(base),
+                                     (BATCH, H_IN, W_IN, 3), "bilinear"))
+    t2 = np.roll(t1, -3, axis=2)
+    t1 = jnp.asarray((t1 * 255).astype(np.uint8))
+    t2 = jnp.asarray((t2 * 255).astype(np.uint8))
+    est.reset(t1)
+    outp = est.next_frames(t2)
+    float(jnp.ravel(outp[0])[0])             # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(5):
+        outp = est.next_frames(t2)
+    float(jnp.ravel(outp[0])[0])
+    dtp = max(time.perf_counter() - t0 - rtt, 1e-9) / (5 * BATCH)
+    full_fps = 1.0 / dtp
 
     print(json.dumps({
-        "metric": "640x480 frame-pairs/sec/chip (flow+depth)",
-        "value": round(fps, 1),
+        "metric": ("640x480 frame-pairs/sec/chip, complete online pipeline "
+                   "(undistort+ego-motion+compensation+match+masks+depth); "
+                   "matching_core = resize+trunk+match+depth only"),
+        "value": round(full_fps, 1),
         "unit": "fps",
-        "vs_baseline": round(fps / 500.0, 3),
+        "vs_baseline": round(full_fps / 500.0, 3),
+        "matching_core": round(core_fps, 1),
     }))
 
 

@@ -191,34 +191,24 @@ def main(only=None):
             base[10 + k:490 + k, 10 + k:650 + k]) * 255, 0, 255).astype(np.uint8)
             for k in range(40)]
         # deployment streaming regime: uint8 camera frames, single-frame-in /
-        # single-frame-out with LAG frames in flight, one packed f16 fetch per
-        # frame on fetcher threads (each extra fetch costs a tunnel round trip)
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
+        # single-frame-out with LAG frames in flight, one packed f16 fetch
+        # per frame on fetcher threads (each extra fetch costs a tunnel
+        # round trip). Since round 5 this overlap is a LIBRARY surface —
+        # api.PipelinedStream (est.stream(lag=3)) — and config5 measures
+        # that wrapper, not ad-hoc benchmark plumbing.
         from depth_estimation_tpu.data.images import scale_np
         est.reset(frames[0])
         np.asarray(est.next_frame_packed(scale_np(frames[1], 180, 320)))  # warm up
-
-        # plain blocking fetch on fetcher threads; polling is_ready() first
-        # costs an RPC per poll (~12 ms/frame measured) — keep >= 3 frames in
-        # flight instead so buffers are ready when fetched
-        fetch_packed = np.asarray
-
-        pool = ThreadPoolExecutor(4)
+        stream = est.stream(lag=3)
 
         def stream_rep():
-            pend = deque()
             t0 = time.perf_counter()
             n = 0
             for k in range(2, 80):
-                fsmall = scale_np(frames[k % 40], 180, 320)
-                pend.append(pool.submit(fetch_packed,
-                                        est.next_frame_packed(fsmall)))
-                if len(pend) > 3:
-                    pend.popleft().result()
+                stream.push(scale_np(frames[k % 40], 180, 320))
                 n += 1
-            while pend:
-                pend.popleft().result()
+            for _ in stream.drain():
+                pass
             return (time.perf_counter() - t0) / n
 
         # 2 reps, report the best (first rep pays one-time warm-up, measured)

@@ -130,3 +130,36 @@ def test_ego_resolution_working_agrees_with_full():
     # and they agree with each other sub-degree
     dR = np.asarray(em_full.R) @ np.asarray(em_work.R).T
     assert angle(dR) < 0.6
+
+
+def test_pipelined_stream_matches_sync_path():
+    """api.PipelinedStream (est.stream): results come out in frame order,
+    lag frames behind the pushes, numerically identical to the synchronous
+    next_frame_packed sequence on the same frames (the overlap changes
+    scheduling, never values — same jitted program, same state rotation)."""
+    g = Geometry(hImg=48, wImg=64, layers=((3, 5, 5, 75),), maxh=6, maxw=6)
+    cal = small_cal(48, 64)
+    params = identity_filter_params(g)
+
+    from depth_estimation_tpu.flow.celiu import gaussian_smooth
+    rng = np.random.RandomState(0)
+    big = np.asarray(gaussian_smooth(
+        jnp.asarray(rng.rand(70, 100, 3).astype(np.float32)), 1.0, 3))
+    frames = [big[10:58, 10 + k:74 + k] for k in range(7)]
+
+    est = DepthEstimator(g, params, cal, head="max")
+    est.reset(frames[0])
+    ref = [np.asarray(est.next_frame_packed(f)) for f in frames[1:]]
+
+    est2 = DepthEstimator(g, params, cal, head="max")
+    est2.reset(frames[0])
+    got = []
+    with est2.stream(lag=3) as stream:
+        for f in frames[1:]:
+            out = stream.push(f)
+            if out is not None:
+                got.append(out)
+        got.extend(stream.drain())
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)

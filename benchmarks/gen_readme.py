@@ -44,19 +44,33 @@ def load_artifacts():
         headline = {"value": b["parsed"]["value"],
                     "vs": b["parsed"]["vs_baseline"],
                     "round": os.path.basename(benches[-1])[:-5]}
+        if "matching_core" in b["parsed"]:
+            headline["matching_core"] = b["parsed"]["matching_core"]
     return results, dossier, headline
 
 
 def perf_table(results: dict, headline) -> str:
+    """Every number in the rendered rows comes from an artifact
+    (results.json / the newest BENCH_r*.json) — no hand-typed measurements
+    in this generator (round-4 verdict: prose constants here went stale
+    silently). Configuration FACTS (which kernel, which dtype) live in the
+    row labels; they describe code defaults, not measurements."""
     r = results
-    if headline:
+    if headline and "matching_core" in headline:
+        # round-5+ format: value = complete per-frame online program,
+        # matching_core alongside (see bench.py docstring / BASELINE.md)
+        head_cell = (
+            f"**{headline['value']:.1f} fps complete online pipeline, "
+            f"{headline['vs']:.2f}x the 500 fps target** "
+            f"(driver-recorded, {headline['round']}); matching core "
+            f"{headline['matching_core']:.0f} fps in the same run")
+    elif headline:
+        # rounds 1-4 format: value = the dense matching core only
         head_cell = (
             f"**{headline['value']:.0f} fps, "
             f"{headline['vs']:.2f}x the 500 fps target** "
-            f"(driver-recorded, {headline['round']}; norm-decomposed fast "
-            "kernel, bf16 storage, block 32 — in the 0.1 px budget on-chip "
-            "since the in-kernel-norms fix; fused bf16 measures ~2874 and "
-            "remains the bit-parity/conf-gate kernel)")
+            f"(driver-recorded, {headline['round']}; matching core — "
+            "resize + trunk + fused match + depth, no ego-motion)")
     else:
         head_cell = "run `python bench.py`"
     parity = r["full_pipeline_parity_fps"]
@@ -66,11 +80,16 @@ def perf_table(results: dict, headline) -> str:
                    "routes covered batches through the banded Pallas "
                    "kernel, gather fallback otherwise; was 275.1 with the "
                    "always-gather form)")
+    head_label = (
+        "640x480 frame-pairs, COMPLETE online pipeline (undistort + "
+        "ego-motion + compensation + fused match + masks + depth, B=128; "
+        "`matching_core` = matmul resize + conv trunk + fused match + "
+        "depth rule only)"
+        if headline and "matching_core" in headline else
+        "640x480 frame-pair MATCHING core (matmul resize + conv trunk + "
+        "fused match + depth rule; no ego-motion — see full pipeline row)")
     rows = [
-        ("headline",
-         "640x480 frame-pair MATCHING core (matmul resize + conv trunk + "
-         "fused match + depth rule; no ego-motion — see full pipeline row)",
-         head_cell),
+        ("headline", head_label, head_cell),
         ("full pipeline",
          "the COMPLETE per-frame online program, batched: undistort + "
          "ego-motion (Shi-Tomasi + pyramidal LK + RANSAC essential) + "
@@ -82,9 +101,10 @@ def perf_table(results: dict, headline) -> str:
          "the reference's exact warp-then-match stage order** "
          "(`full_pipeline_warp_banded_fps` — Pallas VMEM-resident banded "
          "warp, exact within the search margin, B=128); " + parity_cell),
-        ("1", "single-scale 17x17 matcher, 320x180, batch 64",
-         f"{r['config1_single_scale_fps']:.1f} fps (fast bf16, confirmed in "
-         "budget on-chip — see Quality; fused bf16 ~1970)"),
+        ("1", "single-scale 17x17 matcher, 320x180, batch 64 (fast kernel, "
+         "bf16 storage — confirmed in the 0.1 px budget on-chip, see "
+         "Quality)",
+         f"{r['config1_single_scale_fps']:.1f} fps"),
         ("2", "celiu variational GT, 256x192, at the reference GT schedule "
          "(alpha=0.005, 5/1/40), B=8 explicit batch",
          f"**{r['config2_celiu_pairs_per_s']:.1f} pairs/s** (was 28 "
@@ -93,13 +113,13 @@ def perf_table(results: dict, headline) -> str:
          "index-rate-bound gathers, `benchmarks/profile_celiu.py`; "
          "round-2's 40.4 was a lighter 4/1/30 schedule and the B>=4 vmap "
          "crash is gone — `coarse2fine_flow_batched`)"),
-        ("3", "multiscale 3-level pyramid, full-image 320x180",
-         f"{r['config3_multiscale_fps']:.1f} fps f16 staged decode (was "
-         "~142 in round 1, 520 f32 in round 2; f16 promoted once the "
-         "ON-CHIP dossier measured 0.0098 px mean WTA delta — the staged "
-         "decode is pure XLA, so f16 runs on-chip despite Mosaic lacking "
-         "f16. bf16 straddles the budget across models and stays opt-in; "
-         "f32 exact measures 522)"),
+        ("3", "multiscale 3-level pyramid, full-image 320x180 (f16 staged "
+         "decode — promoted once the ON-CHIP dossier measured 0.0098 px "
+         "mean WTA delta; the staged decode is pure XLA, so f16 runs "
+         "on-chip despite Mosaic lacking f16. bf16 straddles the budget "
+         "across models and stays opt-in)",
+         f"{r['config3_multiscale_fps']:.1f} fps (was ~142 round 1, "
+         "520 f32 round 2)"),
         ("4", "radial polar matcher, 200x200, hWin 15",
          f"{r['config4_radial_fps']:.1f} fps (was ~340)"),
         ("5", "online API per-frame latency (640x480 in, host<->device "

@@ -273,7 +273,16 @@ def sample_foveas(
 
 class MultiscaleTrainer:
     """NLL trainer over the foveated multiscale model (the -ms path of
-    /root/reference/opticalflow.lua:284-336)."""
+    /root/reference/opticalflow.lua:284-336). With learning.soft_targets
+    the criterion is the DistNLL port over the multiscale index space: a
+    Gaussian exp(-d^2/sigma^2) placed at each index's DECODED centered
+    displacement (codecs.window_offsets), normalized per sample — the
+    principled lift of prepareTarget's soft branch
+    (/root/reference/opticalflow_model.lua:298-315) to the concatenated
+    multiscale codec. (The reference's own multiscale+soft path clamps
+    targets to the PER-SCALE window [-1..2] — maxh is the coarsest-scale
+    window there (prepareTarget:279-290) — which discards nearly every
+    fovea target; that is its pathology, not a semantics worth porting.)"""
 
     def __init__(self, model, learning: Learning):
         self.model = model
@@ -281,19 +290,25 @@ class MultiscaleTrainer:
         self.tx = sgd_torch(learning.rate, learning.rate_decay,
                             learning.weight_decay)
 
-        def loss_fn(params, crops1, crops2, itarget):
+        def loss_fn(params, crops1, crops2, itarget, soft_t):
             # static-shape batched forward over pre-cropped footprints —
             # the vmap-of-dynamic-slice form measured ~5.7 s/step on a
             # tunneled v5e; this is dense conv/matmul work (~ms)
             logp = model.forward_fovea_batch(params, crops1, crops2)
-            ll = jnp.take_along_axis(logp, itarget[:, None], axis=-1)[:, 0]
+            if learning.soft_targets:
+                t = soft_t / jnp.clip(soft_t.sum(-1, keepdims=True), 1e-8)
+                loss = -jnp.mean(jnp.sum(t * logp, axis=-1))
+            else:
+                ll = jnp.take_along_axis(logp, itarget[:, None],
+                                         axis=-1)[:, 0]
+                loss = -jnp.mean(ll)
             pred = jnp.argmax(logp, axis=-1)
-            return -jnp.mean(ll), {
+            return loss, {
                 "acc": jnp.mean((pred == itarget).astype(jnp.float32))}
 
-        def step(state, crops1, crops2, itarget):
+        def step(state, crops1, crops2, itarget, soft_t):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, crops1, crops2, itarget)
+                state.params, crops1, crops2, itarget, soft_t)
             gsum = sum(jnp.sum(x) for x in jax.tree.leaves(grads))
             ok = jnp.isfinite(gsum)
             grads = jax.tree.map(lambda x: jnp.where(ok, x, 0.0), grads)
@@ -317,7 +332,7 @@ class MultiscaleTrainer:
         on ``dp`` and params/opt state replicated (parallel/mesh.py). The
         CLI's --dp flag lands here."""
         from ..parallel import mesh as pm
-        self._step = pm.sharded_train_step(self, mesh, axis, n_batch=3)
+        self._step = pm.sharded_train_step(self, mesh, axis, n_batch=4)
         self._mesh_n = mesh.devices.size
 
     def init(self, rng):
@@ -338,13 +353,20 @@ class MultiscaleTrainer:
             shuffle_rng.shuffle(order)
         assert ds.crops1 is not None, \
             "FoveaDataset without materialized crops (rebuild via sample_foveas)"
-        crops1, crops2, itargets = self._uploads.get(
-            ds.crops1, ds.crops2, ds.itargets)
+        g = self.model.geometry
+        D = codecs.n_indices(g)
+        crops1, crops2, itargets, targets_yx = self._uploads.get(
+            ds.crops1, ds.crops2, ds.itargets, ds.targets_yx)
         losses, accs = [], []
         for b in range(0, n, bs):
             sel = order[b:b + bs]
+            if self.learning.soft_targets:
+                _, soft_t = flow_model.prepare_target(
+                    g, self.learning, targets_yx[sel])
+            else:
+                soft_t = jnp.zeros((bs, D), jnp.float32)
             state, aux = self._step(
-                state, crops1[sel], crops2[sel], itargets[sel])
+                state, crops1[sel], crops2[sel], itargets[sel], soft_t)
             losses.append(aux["loss"])
             accs.append(aux["acc"])
         # ONE device->host fetch per epoch: per-step scalar fetches cost a

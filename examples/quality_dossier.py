@@ -104,7 +104,7 @@ def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
           share_filters: bool = True, n_features: int = 10,
           kernel1: int = None, num_layers: int = 1, kernel2: int = 16,
           layer_two_size: int = 8, layer_two_connections: int = 4,
-          resume: bool = False):
+          soft_targets: float = None, resume: bool = False):
     from depth_estimation_tpu.cli import opticalflow
 
     if kernel1 is None:
@@ -135,6 +135,8 @@ def train(root: str, out: str, epochs: int, gt: str, multiscale: int = 0,
         args += ["--multiscale", str(multiscale)]
         if share_filters:
             args += ["--share-filters"]
+    if soft_targets is not None:
+        args += ["--soft-targets", str(soft_targets)]
     if resume:
         args += ["--resume"]
     rc = opticalflow.main(args)
@@ -236,6 +238,32 @@ def ms_ref2layer_quality(work: str, **kw):
     return _ms_variant_quality(work, "multiscale_ccGT_ref2layer",
                                share_filters=False, num_layers=2,
                                kernel1=5, kernel2=16, **kw)
+
+
+def ms_ref2layer_soft_quality(work: str, **kw):
+    """ref2layer + the reference's remaining training lever: soft Gaussian
+    targets (-st, sigma^2 = 1 — prepareTarget's soft branch,
+    opticalflow_model.lua:298-315, lifted to the multiscale codec; see
+    MultiscaleTrainer). Round-4 verdict item: the trained ref2layer row
+    CLEARED the lossless-feature oracle, so the plateau attribution needed
+    the reference's untried training levers measured.
+    Records ``multiscale_ccGT_ref2layer_soft``."""
+    return _ms_variant_quality(work, "multiscale_ccGT_ref2layer_soft",
+                               share_filters=False, num_layers=2,
+                               kernel1=5, kernel2=16, soft_targets=1.0,
+                               **kw)
+
+
+def ms_ref2wide_quality(work: str, **kw):
+    """ref2layer widened (the other reference lever — nFeatures and layer
+    sizes are free parameters of its design, opticalflow.lua:31-44):
+    16-feature middle layer with 8-way sparse fan-in, 20 output features,
+    same 20x20 receptive field. Records ``multiscale_ccGT_ref2wide``."""
+    return _ms_variant_quality(work, "multiscale_ccGT_ref2wide",
+                               share_filters=False, num_layers=2,
+                               kernel1=5, kernel2=16, layer_two_size=16,
+                               layer_two_connections=8, n_features=20,
+                               **kw)
 
 
 class _Im2ColFilter:
@@ -539,7 +567,8 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
                    n_frames: int = 7,
                    zoom=(1.06, 1.12),
                    n_scenes: int = 1,
-                   clean_gt: bool = False):
+                   clean_gt: bool = False,
+                   tag: str = ""):
     """Radial (polar 1-D) matcher quality row: train through the real CLI
     (cli/train_radial.main) on a synthetic forward-motion scene — two
     depth planes zooming outward from the center epipole, the
@@ -642,7 +671,10 @@ def radial_quality(work: str, epochs: int = 120, n_train: int = 4000,
             # with 0.5% GT coverage)
             img = forward_step(img, zoom[0], zoom[1])
 
-    omd = os.path.join(work, ("models_" + ds_name).replace("_seq", ""))
+    # ``tag`` separates model dirs for architecture variants trained on the
+    # SAME corpus (e.g. the wide-feature-bank row): corpus/GT caches shared,
+    # weights distinct
+    omd = os.path.join(work, ("models_" + ds_name).replace("_seq", "") + tag)
     weights = os.path.join(omd, f"e{epochs - 1}.msgpack")
     if not os.path.exists(weights):
         # single scene: train on frames 0..n-3 only, the (n-2)->(n-1) pair
@@ -921,6 +953,10 @@ def main():
     ap.add_argument("--radial-noisy-only", action="store_true",
                     help="the radial row on photometric-noise scenes — "
                          "multi-scene training, fresh-scene evaluation")
+    ap.add_argument("--radial-noisy-wide-only", action="store_true",
+                    help="the noisy radial row with a 32-channel feature "
+                         "bank (same corpus/eval) — tests the stated "
+                         "noise-averaging mechanism")
     ap.add_argument("--radial-noisy-clean-gt-only", action="store_true",
                     help="the noisy radial row retrained with CLEAN-frame "
                          "GT targets (same noisy pixels; isolates the "
@@ -950,6 +986,14 @@ def main():
                     help="multiscale row at the reference's own default "
                          "network (2 layers, 5+16-1=20x20 receptive field, "
                          "unshared)")
+    ap.add_argument("--ms-ref2layer-soft-only", action="store_true",
+                    help="ref2layer + soft Gaussian targets (-st 1.0) — "
+                         "the reference's remaining training lever on the "
+                         "best architecture row")
+    ap.add_argument("--ms-ref2wide-only", action="store_true",
+                    help="ref2layer widened (16-feature sparse middle "
+                         "layer, 20 output features) — the deeper/wider "
+                         "lever")
     ap.add_argument("--curves-only", action="store_true",
                     help="redraw quality_curves.png from the JSON's "
                          "recorded histories (includes ablation rows)")
@@ -983,6 +1027,18 @@ def main():
                  work, epochs=150, n_train=9000, noise=nsig,
                  net_spec="[[3,5,5,10],'tanh',[10,5,5,10]]",
                  n_frames=4, zoom=(1.045, 1.085), n_scenes=6)),
+            ("radial_noisy_wide", args.radial_noisy_wide_only,
+             # round-4 verdict item 8: the stated remaining mechanism (raw
+             # SSD averages noise over 243 pixels vs 10 learned channels)
+             # implies a WIDER feature bank should close the gap —
+             # 32-channel layers (nFeatures is a free parameter of the
+             # reference design, radial_opticalflow_network.lua:6-30),
+             # same corpus/noise/eval as radial_noisy
+             lambda work: radial_quality(
+                 work, epochs=150, n_train=9000, noise=nsig,
+                 net_spec="[[3,5,5,32],'tanh',[32,5,5,32]]",
+                 n_frames=4, zoom=(1.045, 1.085), n_scenes=6,
+                 tag="_wide32")),
             ("radial_noisy_cleanGT", args.radial_noisy_clean_gt_only,
              # identical corpus/noise/eval to radial_noisy, but training
              # targets come from the aligned clean frames (-gtd)
@@ -999,7 +1055,11 @@ def main():
              ms_capacity_quality),
             ("multiscale_ceiling", args.ms_ceiling_only, multiscale_ceiling),
             ("multiscale_ccGT_ref2layer", args.ms_ref2layer_only,
-             ms_ref2layer_quality)]
+             ms_ref2layer_quality),
+            ("multiscale_ccGT_ref2layer_soft", args.ms_ref2layer_soft_only,
+             ms_ref2layer_soft_quality),
+            ("multiscale_ccGT_ref2wide", args.ms_ref2wide_only,
+             ms_ref2wide_quality)]
     if any(flag for _, flag, _ in only):
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(HERE, "quality_dossier.json")

@@ -252,3 +252,34 @@ def test_device_cache_uploads_once_per_dataset():
     # arity change is a miss, not an error
     (da4,) = cache.get(a)
     np.testing.assert_array_equal(np.asarray(da4), a)
+
+
+def test_multiscale_soft_targets_training_improves():
+    """-st for the multiscale fovea trainer: DistNLL over the concatenated
+    multiscale index space, Gaussian placed at each index's decoded offset
+    (prepareTarget's soft branch lifted to the codec — see
+    MultiscaleTrainer docstring for why the reference's own clamped
+    multiscale+soft path is not the semantics to copy)."""
+    from depth_estimation_tpu.models.multiscale import MultiscaleFlowModel
+
+    g = Geometry(
+        hImg=72, wImg=80,
+        layers=((3, 5, 5, 8),),
+        maxh=4, maxw=4, maxhGT=8, maxwGT=8, hKernelGT=5, wKernelGT=5,
+        multiscale=True, ratios=(1, 2),
+    )
+    lrn = Learning(rate=0.3, rate_decay=0.0, criterion="soft",
+                   soft_targets=True, st_sigma2=1.0, batch_size=8)
+    images, flows = synthetic_sequence(g, n=3, seed=4)
+    rng = np.random.RandomState(5)
+    ds = training.sample_foveas(g, lrn, _interleave(images, flows)[0],
+                                _interleave(images, flows)[1], None, 32, rng)
+    model = MultiscaleFlowModel(g)
+    trainer = training.MultiscaleTrainer(model, lrn)
+    state = trainer.init(jax.random.PRNGKey(0))
+    state, m0 = trainer.epoch(state, ds, shuffle_rng=np.random.RandomState(6))
+    for _ in range(3):
+        state, m = trainer.epoch(state, ds,
+                                 shuffle_rng=np.random.RandomState(6))
+    assert m["loss"] < m0["loss"], (m0, m)
+    assert m["acc"] >= m0["acc"] - 0.1

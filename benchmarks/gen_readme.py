@@ -192,10 +192,41 @@ def quality_table(dossier: dict) -> str:
     return "\n".join(lines)
 
 
+def roofline_table() -> str:
+    """Measured-ceiling table rendered from benchmarks/speed_of_light.json
+    + the device_peaks it embeds — the round-4 verdict's fix for the
+    hand-written README roofline arithmetic going stale. %SoL <= 100 is
+    enforced by speed_of_light.py itself (rows above 100 mark the report
+    broken and fail its run)."""
+    path = os.path.join(HERE, "speed_of_light.json")
+    if not os.path.exists(path):
+        return ("run `python benchmarks/device_peaks.py && python "
+                "benchmarks/speed_of_light.py` on the TPU")
+    sol = json.load(open(path))
+    p = sol["peaks"]
+    lines = [
+        f"Measured device ceilings ({p['backend']}, "
+        "`benchmarks/device_peaks.py` — rates amortized inside one jitted "
+        f"loop program): MXU **{p['mxu_bf16_tflops']:.0f} bf16 TFLOP/s**, "
+        f"HBM stream **{p['hbm_stream_gbps']:.0f} GB/s**, VPU FMA "
+        f"**{p['vpu_fma_f32_gflops']/1000:.2f} f32 TFLOP/s**, VPU exp "
+        f"**{p['vpu_exp_gops']:.0f} Gexp/s**.",
+        "",
+        "| kernel | measured | SoL bound | %SoL | binding resource |",
+        "|---|---|---|---|---|",
+    ]
+    for r in sol["kernels"]:
+        lines.append(
+            f"| {r['kernel']} | {r['measured_ms']:.2f} ms | "
+            f"{r['sol_ms']:.2f} ms | {r['pct_sol']:.0f}% | {r['bound']} |")
+    return "\n".join(lines)
+
+
 def render_blocks() -> dict:
     results, dossier, headline = load_artifacts()
     return {"perf-table": perf_table(results, headline),
-            "quality-table": quality_table(dossier)}
+            "quality-table": quality_table(dossier),
+            "roofline": roofline_table()}
 
 
 def splice(text: str, name: str, body: str) -> str:

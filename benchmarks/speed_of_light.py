@@ -9,6 +9,17 @@ kernel runs exactly at the hardware's measured ceiling for its own
 irreducible work; the analytic op counts below are lower bounds (bookkeeping
 the real kernel cannot fully avoid is excluded), so %SoL is conservative.
 
+CONTRACT (self-enforced since round 5): pct_sol <= 100 for every row, by
+construction — a row above 100 means the ceiling model is broken (an op
+count overcounts, or a device_peaks rate under-measures the unit), NOT that
+the kernel beats physics. The report marks any such row "impossible" and
+exits nonzero so a broken model cannot be silently published. (Round-4
+verdict: the v1 peak meter's dispatch-floored VPU rate put three rows at
+132-264%.) The bounds are FORMULATION-level: e.g. the banded warp row
+scores the shift-sum form against the VPU ceiling, not against the 4-tap
+gather's algorithmic minimum (which has no efficient TPU lowering — the
+formulation choice is itself recorded in DESIGN.md with measurements).
+
 Covered kernels (the §3 hot-loop ranking):
   * match_flow_fused / match_flow_fast (bf16 storage) at the headline
     feature shape — the framework's north-star op;
@@ -126,12 +137,19 @@ def main():
                               bytes_match, peaks))
 
     # ---- conv feature trunk (MXU path, flops from XLA's own count) -------
+    # Irreducible HBM bytes are ANALYTIC (read the input frames once, write
+    # the feature maps once; weights are KBs): XLA's "bytes accessed"
+    # counts every HLO operand including fusion-internal reuse, which
+    # inflated this row's memory bound past the kernel's own measured time
+    # (an impossible 107% "SoL" — round-5 fix).
     trunk = jax.jit(model.features)
     lowered = trunk.lower(params, img).compile()
     ca = lowered.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     trunk_flops = float(ca.get("flops", 0.0))
-    trunk_bytes = float(ca.get("bytes accessed", 0.0))
+    feats_shape = jax.eval_shape(model.features, params, img)
+    trunk_bytes = float(img.size * img.dtype.itemsize
+                        + np.prod(feats_shape.shape) * 4)
     t = _timed(lambda: trunk(params, img), lambda o: float(o[0, 0, 0, 0]),
                n=10)
     rows.append(_roofline("conv feature trunk", t, 0.0, 0.0, trunk_bytes,
@@ -198,17 +216,30 @@ def main():
            f"{'bound':>8s}")
     print(hdr)
     print("-" * len(hdr))
+    bad = []
     for r in rows:
+        if tpu and r["pct_sol"] > 100.0:
+            r["impossible"] = True
+            bad.append(r["kernel"])
         print(f"{r['kernel']:28s} {r['measured_ms']:>8.3f}ms "
               f"{r['sol_ms']:>8.3f}ms {r['pct_sol']:>5.1f}% "
-              f"{r['bound']:>8s}")
+              f"{r['bound']:>8s}"
+              + ("  <-- IMPOSSIBLE (ceiling model broken)"
+                 if r.get("impossible") else ""))
     out = {"backend": backend, "peaks": peaks, "kernels": rows}
     path = os.path.join(os.path.dirname(__file__), "speed_of_light.json")
     if tpu or "--json" in sys.argv:
         with open(path, "w") as fh:
             json.dump(out, fh, indent=2)
         print(f"wrote {path}")
+    if bad:
+        print(f"CEILING MODEL BROKEN: {len(bad)} row(s) above 100% SoL "
+              f"({', '.join(bad)}) — a kernel cannot beat the hardware's "
+              f"irreducible minimum; fix device_peaks.py rates or the op "
+              f"counts before citing this report", file=sys.stderr)
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

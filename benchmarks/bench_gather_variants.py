@@ -65,6 +65,19 @@ def main():
         return jax.vmap(lambda y, x: jax.lax.dynamic_slice(
             img, (y, x), (S, S)))(by, bx)
 
+    def rowtake_colmm(img, by, bx, dt):
+        # hybrid: rows via a LEADING-dim gather (the cheap axis on TPU),
+        # columns via the one-hot matmul (the minor-dim gather is the
+        # pathological one) — halves the selection-matmul work vs onehot
+        ri = jnp.clip(by[:, None] + k[None], 0, H - 1).reshape(-1)
+        rows = jnp.take(img, ri, axis=0).reshape(N, S, W)
+        jj = jnp.arange(W, dtype=jnp.int32)
+        Cx = (jj == jnp.clip(bx[:, None] + k[None],
+                             0, W - 1)[..., None]).astype(dt)
+        return jax.lax.dot_general(rows.astype(dt), Cx,
+                                   (((2,), (2,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+
     for name, fn in [
         ("onehot-f32", jax.jit(jax.vmap(
             lambda im, y, x: onehot(im, y, x, jnp.float32)))),
@@ -72,6 +85,10 @@ def main():
             lambda im, y, x: onehot(im, y, x, jnp.bfloat16)))),
         ("rows+minor", jax.jit(jax.vmap(rows_minor))),
         ("dynslice", jax.jit(jax.vmap(dynslice))),
+        ("rowtake+colmm-bf16", jax.jit(jax.vmap(
+            lambda im, y, x: rowtake_colmm(im, y, x, jnp.bfloat16)))),
+        ("rowtake+colmm-f32", jax.jit(jax.vmap(
+            lambda im, y, x: rowtake_colmm(im, y, x, jnp.float32)))),
     ]:
         dt = timed(lambda fn=fn: fn(imgs, by, bx))
         print(f"window {name:12s}: {dt*1e3/B:.3f} ms/pair", flush=True)

@@ -182,6 +182,12 @@ def quality_table(dossier: dict) -> str:
         lines.append(vrow("multiscale @ reference default net "
                           "(2-layer, 20x20 RF, unshared)",
                           "multiscale_ccGT_ref2layer"))
+    if "multiscale_ccGT_ref2layer_soft" in dossier:
+        lines.append(vrow("ref2layer + soft Gaussian targets (-st 1.0)",
+                          "multiscale_ccGT_ref2layer_soft"))
+    if "multiscale_ccGT_ref2wide" in dossier:
+        lines.append(vrow("ref2layer widened (16-feature middle, "
+                          "20 out)", "multiscale_ccGT_ref2wide"))
     if "multiscale_ceiling" in dossier:
         c = dossier["multiscale_ceiling"]["codec"]
         lines.append(

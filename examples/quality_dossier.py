@@ -247,7 +247,11 @@ def ms_ref2layer_soft_quality(work: str, **kw):
     MultiscaleTrainer). Round-4 verdict item: the trained ref2layer row
     CLEARED the lossless-feature oracle, so the plateau attribution needed
     the reference's untried training levers measured.
-    Records ``multiscale_ccGT_ref2layer_soft``."""
+    Records ``multiscale_ccGT_ref2layer_soft``. Epoch budget 200: the
+    ref2layer baseline itself recorded 164 epochs with its plateau
+    reached by ~150 (history in the JSON), so 200 is comparable and a
+    400-epoch run would mostly train past a demonstrated plateau."""
+    kw.setdefault("epochs", 200)
     return _ms_variant_quality(work, "multiscale_ccGT_ref2layer_soft",
                                share_filters=False, num_layers=2,
                                kernel1=5, kernel2=16, soft_targets=1.0,
@@ -258,7 +262,9 @@ def ms_ref2wide_quality(work: str, **kw):
     """ref2layer widened (the other reference lever — nFeatures and layer
     sizes are free parameters of its design, opticalflow.lua:31-44):
     16-feature middle layer with 8-way sparse fan-in, 20 output features,
-    same 20x20 receptive field. Records ``multiscale_ccGT_ref2wide``."""
+    same 20x20 receptive field. Records ``multiscale_ccGT_ref2wide``.
+    Epoch budget 200 (see ms_ref2layer_soft_quality)."""
+    kw.setdefault("epochs", 200)
     return _ms_variant_quality(work, "multiscale_ccGT_ref2wide",
                                share_filters=False, num_layers=2,
                                kernel1=5, kernel2=16, layer_two_size=16,

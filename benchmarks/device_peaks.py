@@ -201,6 +201,37 @@ def _measure_vpu(unrolled_op, ops_per_elem_iter, tpu: bool, interpret: bool,
     return nblk * rows * cols * n_iter * ops_per_elem_iter / best
 
 
+def measure_gather_idx_gops(tpu: bool):
+    """Index-processing rate of the batched flattened row gather — the
+    formulation every unavoidable interpolation in this repo uses (DESIGN
+    rule 3 'pack the taps': one take_along_axis over an (B, H*W, 4C)
+    table). TPU gather cost is bound by indices/s, not row bytes; this is
+    the denominator for the celiu packed-tap warp's speed-of-light row.
+    Per fori iteration the indices are rotated by the loop counter so the
+    gather cannot be CSE'd/hoisted across iterations."""
+    import jax
+    import jax.numpy as jnp
+    B, M, Cp = (8, 192 * 256, 20) if tpu else (2, 24 * 32, 8)
+    iters = 512 if tpu else 4
+    rng = np.random.RandomState(3)
+    table = jnp.asarray(rng.rand(B, M, Cp), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, M, (B, M)), jnp.int32)
+
+    def make(it):
+        @jax.jit
+        def run(table, idx):
+            def body(k, acc):
+                ik = (idx + k) % M
+                g = jnp.take_along_axis(table, ik[..., None], axis=1)
+                return acc + g[:, 0, 0]
+            return jax.lax.fori_loop(0, it, body,
+                                     jnp.zeros((B,), jnp.float32))
+        return lambda: run(table, idx)
+
+    dt = _timed_loop(make, lambda o: float(o[0]), iters)
+    return B * M / dt / 1e9
+
+
 def measure_vpu_fma_gflops(tpu: bool, interpret: bool):
     """8 independent 16-step logistic chains (fnma each, non-foldable) per
     element per VMEM round-trip; setup muls + combine adds counted."""
@@ -255,6 +286,7 @@ def main():
         "hbm_stream_gbps": round(measure_hbm_gbps(tpu), 1),
         "vpu_fma_f32_gflops": round(measure_vpu_fma_gflops(tpu, interpret), 1),
         "vpu_exp_gops": round(measure_vpu_exp_gops(tpu, interpret), 2),
+        "gather_idx_gops": round(measure_gather_idx_gops(tpu), 3),
     }
     print(json.dumps(peaks, indent=2))
     if tpu or "--json" in sys.argv:

@@ -57,23 +57,29 @@ def _load_peaks(backend):
 
 
 def _roofline(name, t_meas, flops_vpu, n_exp, bytes_hbm, peaks,
-              mxu_flops=0.0):
+              mxu_flops=0.0, n_idx=0.0):
     """Assemble one report row. VPU ops are counted as FMA-equivalent
-    instructions (the measured fma rate is 2 flops per lane-op)."""
+    instructions (the measured fma rate is 2 flops per lane-op); ``n_idx``
+    is gather indices, charged at the measured index-processing rate."""
     t_alu = flops_vpu / (peaks["vpu_fma_f32_gflops"] * 1e9)
     t_exp = n_exp / (peaks["vpu_exp_gops"] * 1e9)
     t_mxu = mxu_flops / (peaks["mxu_bf16_tflops"] * 1e12)
     t_mem = bytes_hbm / (peaks["hbm_stream_gbps"] * 1e9)
+    t_idx = (n_idx / (peaks["gather_idx_gops"] * 1e9)
+             if n_idx else 0.0)
     t_compute = t_alu + t_exp + t_mxu
-    t_sol = max(t_compute, t_mem)
+    t_sol = max(t_compute, t_mem, t_idx)
+    bound = ("gather" if t_idx >= max(t_compute, t_mem)
+             else "memory" if t_mem >= t_compute else "compute")
     return {
         "kernel": name,
         "measured_ms": round(t_meas * 1e3, 4),
         "sol_ms": round(t_sol * 1e3, 4),
         "pct_sol": round(100.0 * t_sol / t_meas, 1),
-        "bound": "memory" if t_mem >= t_compute else "compute",
+        "bound": bound,
         "compute_ms": round(t_compute * 1e3, 4),
         "memory_ms": round(t_mem * 1e3, 4),
+        "gather_ms": round(t_idx * 1e3, 4),
     }
 
 
@@ -180,6 +186,31 @@ def main():
     #                                                    2 state init
     rows.append(_roofline("sor_pallas (40 iters)", t, sor_ops, 0.0,
                           sor_bytes, peaks))
+
+    # ---- celiu packed-tap bilinear warp at the config2 top-level shape ----
+    # The solve's dominant stage (profile_celiu: warp 5.9 of 9.2 ms/pair).
+    # DESIGN rule 3's packed-tap form: ONE take_along_axis over an
+    # (B, H*W, 4C) table — bound by the measured index-processing rate
+    # (gather_idx_gops), plus the table's build/read traffic.
+    if tpu:
+        Bc, Hc, Wc, Cc = 8, 192, 256, 5
+    else:
+        Bc, Hc, Wc, Cc = 2, 24, 32, 3
+    feats_c = jnp.asarray(rng.rand(Bc, Hc, Wc, Cc), jnp.float32)
+    xs_c = jnp.asarray(rng.rand(Bc, Hc, Wc) * (Wc - 1), jnp.float32)
+    ys_c = jnp.asarray(rng.rand(Bc, Hc, Wc) * (Hc - 1), jnp.float32)
+    warp_c = jax.jit(lambda f, x, y: celiu.bilinear_sample(
+        f, x, y, packed=True))
+    t = _timed(lambda: warp_c(feats_c, xs_c, ys_c),
+               lambda o: float(o[0, 0, 0, 0]), n=10)
+    n_pix = float(Bc) * Hc * Wc
+    # irreducible: one gathered index per output pixel; bytes = read img C
+    # + write/read the packed 4C table + write the C output (f32), coords
+    # 2 planes; ALU = 4 taps x C lerp-combine (~3C fma) + index math ~6
+    warp_c_bytes = n_pix * 4 * (Cc + 4 * Cc * 2 + Cc + 2)
+    warp_c_ops = n_pix * (3 * Cc + 6) * 2.0
+    rows.append(_roofline("celiu packed-tap warp", t, warp_c_ops, 0.0,
+                          warp_c_bytes, peaks, n_idx=n_pix))
 
     # ---- banded rotation-compensation warp at the pipeline shape ----------
     from depth_estimation_tpu.geometry3d import undistort as undist

@@ -387,7 +387,8 @@ def test_unshared_filters_branch():
     c1 = jnp.asarray(rng.rand(4, Hm, Wm, 3), jnp.float32)
     c2 = jnp.asarray(rng.rand(4, Hm, Wm, 3), jnp.float32)
     it = jnp.asarray(rng.randint(0, codecs.n_indices(g), 4), jnp.int32)
-    new_state, aux = tr._step(state, c1, c2, it)
+    soft_t = jnp.zeros((4, codecs.n_indices(g)), jnp.float32)
+    new_state, aux = tr._step(state, c1, c2, it, soft_t)
     assert bool(aux["grad_ok"])
     for sk in ("scale0", "scale1"):
         moved = max(np.abs(np.asarray(a) - np.asarray(b)).max()

@@ -123,11 +123,13 @@ def perf_table(results: dict, headline) -> str:
         ("4", "radial polar matcher, 200x200, hWin 15",
          f"{r['config4_radial_fps']:.1f} fps (was ~340)"),
         ("5", "online API per-frame latency (640x480 in, host<->device "
-         "each frame)",
-         f"{r['config5_online_api_fps']:.1f} fps recorded on an idle host "
-         "(~55-63 across idle runs), ~28-53 when the host is busy — "
-         "host-thread + tunnel-RTT bound (was ~2.6; MXU LK sampler + fused "
-         "matcher + packed single-fetch)"),
+         "each frame; measured through the library overlap wrapper "
+         "`api.PipelinedStream` — est.stream(lag=3), fetch RTT hidden "
+         "behind compute)",
+         f"{r['config5_online_api_fps']:.1f} fps recorded; ~42-63 across "
+         "runs depending on host load — host-thread + tunnel-RTT bound, "
+         "not compute (was ~2.6 in round 1; MXU LK sampler + fused "
+         "matcher + packed single-fetch + pipelined fetches)"),
         ("—", "dataset build, 50 SFM-rectified pairs + exhaustive GT "
          "(`benchmarks/bench_datasets.py`)",
          "32.4 s batched vs 42.9 s per-pair; rectification alone 2.6x "

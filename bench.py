@@ -180,7 +180,7 @@ def _run():
         g, params, ARDRONE, head="mean", match_dtype=jnp.bfloat16,
         warp_dtype=jnp.bfloat16, compensation="decode", lk_iters=5,
         ransac_samples=48, state_dtype=jnp.bfloat16, ego_downsample=2,
-        corner_selector="topk", match_block=32)
+        corner_selector="topk", match_block=32, lk_search=24)
     base = rng.rand(BATCH, 120, 160, 3).astype(np.float32)
     t1 = np.asarray(jax.image.resize(jnp.asarray(base),
                                      (BATCH, H_IN, W_IN, 3), "bilinear"))

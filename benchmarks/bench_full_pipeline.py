@@ -103,6 +103,11 @@ def main():
         ransac_samples=48 if args.fast else 64,
         state_dtype=jnp.bfloat16 if args.fast else None,
         ego_downsample=2 if args.fast else 1,
+        # 24 = classic LK's own capture envelope (margin 8 >= win/2);
+        # measured +16% fps AND closer to ground truth than 32 on the
+        # pan fixture (the tighter window rejects drifty track tails) —
+        # see api_batched lk_search and tests/test_batched_pipeline.py
+        lk_search=24 if args.fast else 32,
         corner_selector=args.corners or "topk",
         # pure blocking factor (outputs identical, tested); 32 rows/block
         # measured fastest at this shape in every mode

@@ -57,7 +57,7 @@ class BatchedDepthEstimator:
                  compensation: str = "warp", lk_iters: int = 10,
                  ransac_samples: int = 64, state_dtype=None,
                  match_block: int = 8, warp_band: int = 8,
-                 corner_selector: str = "topk"):
+                 corner_selector: str = "topk", lk_search: int = 32):
         """Throughput knobs (all off by default = the parity path):
           * match_dtype / warp_dtype: bf16 feature storage in the fused
             matcher / the rotation-compensation gather (inference-only
@@ -108,6 +108,14 @@ class BatchedDepthEstimator:
             is two reshape-reduces AND enforces the spatial spread the
             reference gets from OpenCV's minDistance rule. Rotation
             agreement between the two is tested
+            (tests/test_batched_pipeline.py);
+          * lk_search: LK cached-search-window side (32 = conservative
+            default). Per-level residual capture is (lk_search - win - 1)
+            px; classic pyramid LK captures only ~win/2 px per level, so
+            24 (margin 8 >= win/2 at win=15) keeps the reference's
+            effective envelope while shrinking the window matmuls, corr
+            convs, and per-iteration einsums (~S- and (S-kw+1)^2-shaped).
+            Rotation agreement 24-vs-32 is tested
             (tests/test_batched_pipeline.py).
         """
         geometry.validate()
@@ -166,7 +174,8 @@ class BatchedDepthEstimator:
             em = ego.get_ego_motion_batched(
                 e1, e2, K_ego, max_points=cal.sfm.max_points,
                 quality=cal.sfm.points_quality, lk_iters=lk_iters,
-                n_samples=ransac_samples, selector=corner_selector)
+                n_samples=ransac_samples, selector=corner_selector,
+                lk_search=lk_search)
             ratio = em.n_inliers.astype(jnp.float32) / jnp.maximum(
                 em.n_found.astype(jnp.float32), 1.0)
             good = ratio >= cal.bad_image_threshold

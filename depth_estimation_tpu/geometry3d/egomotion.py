@@ -690,17 +690,19 @@ def good_features_to_track_batched(
     return jnp.stack([xs, ys], axis=-1), valid
 
 
-@functools.partial(jax.jit, static_argnums=(3, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(3, 6, 7, 8, 9))
 def _ego_motion_batched_jit(imgs1, imgs2, K, max_points: int, quality,
                             key, lk_iters: int = 10,
                             n_samples: int = 64,
-                            selector: str = "topk") -> EgoMotion:
+                            selector: str = "topk",
+                            lk_search: int = 32) -> EgoMotion:
     pts, pvalid = good_features_to_track_batched(imgs1, max_points, quality,
                                                  selector=selector)
     # window-cached LK (track_lk_windowed): windows extracted once per
     # level (one-hot matmuls), tiny per-iteration resamples
     pts2, status = jax.vmap(
-        lambda a, b, p: track_lk_windowed(a, b, p, n_iters=lk_iters)
+        lambda a, b, p: track_lk_windowed(a, b, p, n_iters=lk_iters,
+                                          search=lk_search)
     )(imgs1, imgs2, pts)
     valid = pvalid & status
     # ONE key shared across items (not split(key, B)): the RANSAC index
@@ -718,19 +720,26 @@ def get_ego_motion_batched(imgs1, imgs2, K, max_points: int = 400,
                            quality: float = 0.001, key=None,
                            lk_iters: int = 10,
                            n_samples: int = 64,
-                           selector: str = "topk") -> EgoMotion:
+                           selector: str = "topk",
+                           lk_search: int = 32) -> EgoMotion:
     """get_ego_motion over B independent frame pairs in one jitted program.
     imgs1/imgs2: (B, H, W[, 3]). Returns EgoMotion with leading batch dims:
     R (B, 3, 3), T (B, 3), n_inliers/n_found (B,). ``selector``: corner
     selection rule ('topk' parity / 'grid' sort-free, see
-    good_features_to_track)."""
+    good_features_to_track). ``lk_search``: the cached search-window side
+    (track_lk_windowed) — per-level residual capture is
+    (lk_search - win - 1) px; classic pyramid LK's own capture range is
+    ~win/2 per level, so 24 (margin 8 >= win/2) preserves the reference's
+    effective envelope while shrinking the window matmuls, the corr
+    convs, and the per-iteration einsums (all ~S or (S-kw+1)^2 shaped);
+    32 is the conservative default."""
     if key is None:
         key = jax.random.PRNGKey(1)
     return _ego_motion_batched_jit(jnp.asarray(imgs1), jnp.asarray(imgs2),
                                    jnp.asarray(K, jnp.float32),
                                    int(max_points), jnp.float32(quality),
                                    key, int(lk_iters), int(n_samples),
-                                   str(selector))
+                                   str(selector), int(lk_search))
 
 
 def get_ego_motion(img1, img2, K, max_points: int = 400,

@@ -326,3 +326,37 @@ def test_ego_motion_grid_selector_recovers_rotation():
         assert abs(got - a) < 5e-3, (i, got, a)
         assert abs(got - ref) < 5e-3, (i, got, ref)
         assert int(em_g.n_found[i]) > 50
+
+
+def test_lk_search_24_agrees_with_32():
+    """lk_search=24 (margin 8 >= win/2 — classic pyramid LK's own capture
+    range) must recover the same rotations as the conservative 32 window:
+    the smaller cached window only removes representable residual motion
+    classic LK could not track anyway (api_batched lk_search knob)."""
+    from depth_estimation_tpu.geometry3d import undistort as undist
+    rng = np.random.RandomState(5)
+    h, w = 96, 128
+    K = np.array([[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]],
+                 np.float32)
+    angles = [0.01, -0.02, 0.03]
+    im1s, im2s = [], []
+    for a in angles:
+        img = _texture(rng, h, w)
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        im2 = np.asarray(undist.remove_ego_motion(
+            jnp.asarray(img), K, jnp.asarray(R.T)))
+        im1s.append(img)
+        im2s.append(im2)
+    a1 = jnp.asarray(np.stack(im1s))
+    a2 = jnp.asarray(np.stack(im2s))
+    em32 = ego.get_ego_motion_batched(a1, a2, K, max_points=200,
+                                      quality=0.001, lk_search=32)
+    em24 = ego.get_ego_motion_batched(a1, a2, K, max_points=200,
+                                      quality=0.001, lk_search=24)
+    R32, R24 = np.asarray(em32.R), np.asarray(em24.R)
+    for i, a in enumerate(angles):
+        g32 = np.arcsin(np.clip(R32[i][0, 2], -1, 1))
+        g24 = np.arcsin(np.clip(R24[i][0, 2], -1, 1))
+        assert abs(g24 - a) < 5e-3, (i, g24, a)
+        assert abs(g24 - g32) < 2e-3, (i, g24, g32)

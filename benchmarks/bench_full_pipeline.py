@@ -74,7 +74,9 @@ def main():
                          "agreement tested). Measured same-day on the "
                          "chip: grid 906.0 vs topk 903.9 fps in fast mode "
                          "at B=128 — a wash, so the parity topk rule "
-                         "stays the recorded default")
+                         "stays the recorded default (re-probed at the "
+                         "round-5 lk_search=24 operating point: 1100.5 "
+                         "vs 1093.3 — still a wash)")
     args = ap.parse_args()
     assert not (args.fast and args.warp_banded)
 
